@@ -1,0 +1,73 @@
+"""Nearest-codebook vector quantization with straight-through gradients.
+
+Semantics of the reference's `vector_quantize` (/root/reference/main.py:134-138):
+expanded-L2 nearest neighbour over the codebook, first-match tie-breaking, forward
+value is the code row, backward is identity to the pre-quantized latent.
+
+TPU design: the distance search is one big `(N, C) @ (C, K)` matmul (MXU) followed by
+an argmin (VPU); the one-hot matmul of the reference is replaced by a `take` gather,
+which XLA lowers to a dynamic-gather that avoids materializing an `(N, K)` one-hot.
+A fused Pallas kernel that tiles the codebook through VMEM and never materializes the
+full `(N, K)` distance matrix lives in `ops/pallas/vq_lookup.py`; this module picks it
+for large problems on TPU backends.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from feed_forward_vqgan_clip_tpu.ops.grad_ops import replace_grad
+
+
+def nearest_codebook_indices(x, codebook, *, precision=jax.lax.Precision.HIGHEST):
+    """Argmin_k ||x - codebook_k||^2 over the last axis of `x`.
+
+    `x`: (..., C) latents, `codebook`: (K, C). Returns int32 (...,).
+
+    Uses the same expanded form as the reference (`|x|^2 + |c|^2 - 2 x.c`,
+    main.py:135) so tie-breaking and numerics line up: argmin picks the first
+    minimal index in both frameworks.
+    """
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    c2 = jnp.sum(jnp.square(codebook), axis=-1)
+    xc = jnp.einsum("...c,kc->...k", x, codebook, precision=precision)
+    d = x2 + c2 - 2.0 * xc
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def vector_quantize(x, codebook, *, use_pallas="auto"):
+    """Quantize `x` (..., C) to its nearest codebook rows with a straight-through grad.
+
+    Forward: codebook[argmin dist]. Backward: identity to `x` (reference main.py:138).
+    """
+    # The index search is non-differentiable; detach it so autodiff never traces
+    # through the search (in particular pallas_call has no JVP rule for nonzero
+    # tangents — without the detach, taking grad through vector_quantize crashes).
+    xd = jax.lax.stop_gradient(x)
+    cbd = jax.lax.stop_gradient(codebook)
+    if _should_use_pallas(use_pallas, x):
+        from feed_forward_vqgan_clip_tpu.ops.pallas.vq_lookup import (
+            nearest_codebook_indices_pallas,
+        )
+
+        idx = nearest_codebook_indices_pallas(xd, cbd)
+    else:
+        idx = nearest_codebook_indices(xd, cbd)
+    x_q = jnp.take(codebook, idx, axis=0).astype(x.dtype)
+    return replace_grad(x_q, x)
+
+
+def _should_use_pallas(use_pallas, x):
+    if use_pallas is True:
+        return True
+    if use_pallas is False:
+        return False
+    # auto: only on TPU backends, and only when the token count is big enough for the
+    # kernel's tiling to pay off.
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing should never fail
+        on_tpu = False
+    n_tokens = 1
+    for s in x.shape[:-1]:
+        n_tokens *= s
+    return on_tpu and n_tokens >= 256

@@ -1,0 +1,247 @@
+"""VQGAN decoder (taming-transformers architecture) in flax, NHWC/TPU-native.
+
+Replicates the compute graph the reference drives through
+`taming.models.vqgan.VQModel.decode` (/root/reference/main.py:84-103, 140-143):
+codebook lookup -> post_quant_conv (1x1) -> decoder (conv_in, mid ResNet+attention
+blocks, per-level ResNet stacks with nearest-neighbor upsampling, GroupNorm+swish
+head). Architecture hyperparameters come from the released yaml `ddconfig`
+(registry.VQGAN_CONFIGS carries the f16 presets).
+
+TPU design:
+  * NHWC layout throughout; convs are lax.conv_general_dilated via flax with HWIO
+    kernels so the MXU sees well-tiled contractions. The torch converter
+    (io/torch_import.py) transposes taming's OIHW weights.
+  * GroupNorm statistics in float32 regardless of compute dtype (bf16-safe).
+  * The 16x16 attention block is exact softmax attention over 256 tokens — a single
+    fused XLA dot chain; no flash/blockwise machinery is warranted at this size
+    (SURVEY.md §5: largest sequence in the system is ~1k tokens).
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from feed_forward_vqgan_clip_tpu.ops.grad_ops import clamp_with_grad
+from feed_forward_vqgan_clip_tpu.ops.quantize import vector_quantize
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32 groups, eps=1e-6) with float32 statistics (taming's norm)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # taming always uses 32 groups (channels are multiples of 32 in every released
+        # config); fall back to per-channel groups for tiny test configs.
+        groups = 32 if x.shape[-1] % 32 == 0 else x.shape[-1]
+        h = nn.GroupNorm(
+            num_groups=groups, epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32
+        )(x.astype(jnp.float32))
+        return h.astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    out_ch: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        in_ch = x.shape[-1]
+        h = GroupNorm32(dtype=self.dtype, name="norm1")(x)
+        h = swish(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm32(dtype=self.dtype, name="norm2")(h)
+        h = swish(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_ch:
+            x = nn.Conv(
+                self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut"
+            )(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head self-attention over the HxW token grid (taming's AttnBlock)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, h * w, c)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample followed by a 3x3 conv (taming's Upsample)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Decoder(nn.Module):
+    """taming's Decoder: z (B, S, S, z_channels) -> image (B, 16S, 16S, out_ch) in (-1, 1)."""
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    resolution: int = 256
+    z_channels: int = 256
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, deterministic=True):
+        num_levels = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[-1]
+        # Resolution the latent grid decodes at: the latent spatial size itself.
+        # (taming computes curr_res = resolution // 2^(levels-1); with the standard
+        # f16 config that equals the training-time latent size 16. Using the actual
+        # grid size generalizes to vq_image_size=32 -> 512px outputs, matching the
+        # reference's "bigger grid -> bigger image" semantics, configs/example.yaml:25.)
+        curr_res = z.shape[1]
+
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = ResnetBlock(block_in, self.dropout, self.dtype, name="mid_block_1")(
+            h, deterministic
+        )
+        h = AttnBlock(self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, self.dropout, self.dtype, name="mid_block_2")(
+            h, deterministic
+        )
+
+        for i_level in reversed(range(num_levels)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(
+                    block_out,
+                    self.dropout,
+                    self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(self.dtype, name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(self.dtype, name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+
+        h = GroupNorm32(dtype=self.dtype, name="norm_out")(h)
+        h = swish(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return h
+
+
+class VQGAN(nn.Module):
+    """Codebook + post_quant_conv + decoder. Only the decode path the reference uses.
+
+    `decode_latent` == VQModel.decode (post_quant_conv then decoder); `codebook()`
+    exposes the embedding table for the latent-bounds computation
+    (z_min/z_max, /root/reference/main.py:645-646).
+    """
+
+    n_embed: int = 16384
+    embed_dim: int = 256
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16,)
+    resolution: int = 256
+    z_channels: int = 256
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.codebook_table = self.param(
+            "codebook",
+            nn.initializers.uniform(scale=2.0 / self.n_embed),
+            (self.n_embed, self.embed_dim),
+            jnp.float32,
+        )
+        self.post_quant_conv = nn.Conv(
+            self.z_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
+        )
+        self.decoder = Decoder(
+            ch=self.ch,
+            out_ch=self.out_ch,
+            ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            attn_resolutions=self.attn_resolutions,
+            resolution=self.resolution,
+            z_channels=self.z_channels,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="decoder",
+        )
+
+    def codebook(self):
+        return self.codebook_table
+
+    def decode_latent(self, z_q, deterministic=True):
+        h = self.post_quant_conv(z_q.astype(self.dtype))
+        return self.decoder(h, deterministic)
+
+    def __call__(self, z_q, deterministic=True):
+        return self.decode_latent(z_q, deterministic)
+
+
+def make_vqgan(config: dict, dtype=jnp.float32) -> VQGAN:
+    """Build a VQGAN from a `ddconfig`-style dict (registry.VQGAN_CONFIGS preset or
+    a parsed taming yaml's model.params)."""
+    return VQGAN(
+        n_embed=int(config["n_embed"]),
+        embed_dim=int(config["embed_dim"]),
+        ch=int(config.get("ch", 128)),
+        out_ch=int(config.get("out_ch", 3)),
+        ch_mult=tuple(config.get("ch_mult", (1, 1, 2, 2, 4))),
+        num_res_blocks=int(config.get("num_res_blocks", 2)),
+        attn_resolutions=tuple(config.get("attn_resolutions", (16,))),
+        resolution=int(config.get("resolution", 256)),
+        z_channels=int(config.get("z_channels", 256)),
+        dropout=float(config.get("dropout", 0.0)),
+        dtype=dtype,
+    )
+
+
+def synth(vqgan: VQGAN, params, z, *, use_pallas="auto"):
+    """z (B, S, S, C) latent -> image (B, 16S, 16S, 3) in [0, 1].
+
+    Parity with the reference's `synth` (/root/reference/main.py:140-143):
+    vector_quantize (straight-through) -> decode -> (x+1)/2 -> clamp_with_grad.
+    """
+    codebook = params["params"]["codebook"]
+    z_q = vector_quantize(z, codebook, use_pallas=use_pallas)
+    x = vqgan.apply(params, z_q, method=vqgan.decode_latent)
+    return clamp_with_grad((x + 1.0) / 2.0, 0.0, 1.0)
+
+
+def latent_bounds(params):
+    """Column-wise codebook min/max used for latent clamping (main.py:645-646, 763).
+
+    The reference clamps with scalar z_min.min() / z_max.max(); return scalars.
+    """
+    cb = params["params"]["codebook"]
+    return cb.min(), cb.max()

@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin rewrites JAX_PLATFORMS to "axon,cpu" behind our back; the env
+# var alone does NOT pin the tests to CPU. The config update below does.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

@@ -90,6 +90,158 @@ def _attn_block(sd, prefix):
     }
 
 
+def _mhsa(sd, prefix):
+    """torch nn.MultiheadAttention (packed in_proj) -> our MHSA q/k/v/out Denses."""
+    w = sd[f"{prefix}.in_proj_weight"]
+    b = sd[f"{prefix}.in_proj_bias"]
+    d = w.shape[1]
+    qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
+    qb, kb, vb = b[:d], b[d : 2 * d], b[2 * d :]
+    return {
+        "q": {"kernel": linear_kernel(qw), "bias": qb},
+        "k": {"kernel": linear_kernel(kw), "bias": kb},
+        "v": {"kernel": linear_kernel(vw), "bias": vb},
+        "out": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _layernorm(sd, prefix):
+    return {"LayerNorm_0": _norm(sd, prefix)}
+
+
+def _resblock(sd, prefix):
+    return {
+        "ln_1": _layernorm(sd, f"{prefix}.ln_1"),
+        "attn": _mhsa(sd, f"{prefix}.attn"),
+        "ln_2": _layernorm(sd, f"{prefix}.ln_2"),
+        "c_fc": _dense(sd, f"{prefix}.mlp.c_fc"),
+        "c_proj": _dense(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def convert_clip_vit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """OpenAI CLIP ViT state dict -> params for models.clip_vit.CLIP.
+
+    Naming: visual.conv1/class_embedding/positional_embedding/ln_pre/
+    transformer.resblocks.N.{ln_1,attn.in_proj_*,attn.out_proj,ln_2,mlp.c_fc,
+    mlp.c_proj}/ln_post/proj; token_embedding, positional_embedding,
+    transformer.resblocks.N.*, ln_final, text_projection, logit_scale.
+    Released checkpoints are fp16; everything is cast to f32 here.
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    n_vis = max(
+        int(k.split(".")[3]) + 1
+        for k in sd
+        if k.startswith("visual.transformer.resblocks.")
+    )
+    n_txt = max(
+        int(k.split(".")[2]) + 1 for k in sd if k.startswith("transformer.resblocks.")
+    )
+    visual: Dict[str, Any] = {
+        "conv1": {"kernel": conv_kernel(sd["visual.conv1.weight"])},
+        "class_embedding": sd["visual.class_embedding"],
+        "positional_embedding": sd["visual.positional_embedding"],
+        "ln_pre": _layernorm(sd, "visual.ln_pre"),
+        "ln_post": _layernorm(sd, "visual.ln_post"),
+        "proj": sd["visual.proj"],
+        "transformer": {
+            f"resblock_{i}": _resblock(sd, f"visual.transformer.resblocks.{i}")
+            for i in range(n_vis)
+        },
+    }
+    text: Dict[str, Any] = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": _layernorm(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+        "transformer": {
+            f"resblock_{i}": _resblock(sd, f"transformer.resblocks.{i}")
+            for i in range(n_txt)
+        },
+    }
+    return {
+        "params": {
+            "visual": visual,
+            "text": text,
+            "logit_scale": sd["logit_scale"].reshape(()),
+        }
+    }
+
+
+def convert_mixer(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
+    """Reference Mixer state dict -> params for models.mappers.mixer.Mixer.
+
+    torch layout (mlp_mixer_pytorch.py:25-91): mixer.0 = Rearrange (no params),
+    mixer.1 = Linear(C->dim), mixer.(2+i) = [PreNormResidual(token Conv1d FF),
+    PreNormResidual(channel Linear FF)], mixer.(2+depth) = LayerNorm; plus
+    proj/final_proj. Token-mix Conv1d kernels are (out, in, 1).
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    def conv1d_kernel(w):
+        return np.transpose(w[:, :, 0], (1, 0))
+
+    params: Dict[str, Any] = {
+        "proj": _dense(sd, "proj"),
+        "embed": _dense(sd, "mixer.1"),
+        "final_norm": _norm(sd, f"mixer.{2 + depth}"),
+        "final_proj": _dense(sd, "final_proj"),
+    }
+    for i in range(depth):
+        p = f"mixer.{2 + i}"
+        params[f"block_{i}"] = {
+            "token_norm": _norm(sd, f"{p}.0.norm"),
+            "token_fc1": conv1d_kernel(sd[f"{p}.0.fn.0.weight"]),
+            "token_fc1_bias": sd[f"{p}.0.fn.0.bias"],
+            "token_fc2": conv1d_kernel(sd[f"{p}.0.fn.3.weight"]),
+            "token_fc2_bias": sd[f"{p}.0.fn.3.bias"],
+            "channel_norm": _norm(sd, f"{p}.1.norm"),
+            "channel_fc1": _dense(sd, f"{p}.1.fn.0"),
+            "channel_fc2": _dense(sd, f"{p}.1.fn.3"),
+        }
+    return {"params": params}
+
+
+def _sln(sd, prefix):
+    return {
+        "gamma": sd[f"{prefix}.gamma"],
+        "beta": sd[f"{prefix}.beta"],
+        "ln": _norm(sd, f"{prefix}.ln"),
+    }
+
+
+def _vitgan_block(sd, prefix):
+    return {
+        "norm1": _sln(sd, f"{prefix}.norm1"),
+        "norm2": _sln(sd, f"{prefix}.norm2"),
+        "attn": {
+            "to_qkv": {"kernel": linear_kernel(sd[f"{prefix}.attn.to_qkv.weight"])},
+            "w_out": _dense(sd, f"{prefix}.attn.w_out"),
+        },
+        "mlp": {
+            "linear1": _dense(sd, f"{prefix}.mlp.linear1"),
+            "linear2": _dense(sd, f"{prefix}.mlp.linear2"),
+        },
+    }
+
+
+def convert_vitgan_generator(sd: Dict[str, np.ndarray], blocks: int) -> Dict[str, Any]:
+    """Reference VitGAN Generator state dict -> params (vitgan.py:221-260 naming:
+    pos_emb1D, mlp, Transformer_Encoder.blocks.N.*, w_out.0, sln_norm)."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    params: Dict[str, Any] = {
+        "pos_emb1D": sd["pos_emb1D"],
+        "mlp": _dense(sd, "mlp"),
+        "w_out": _dense(sd, "w_out.0"),
+        "sln_norm": _sln(sd, "sln_norm"),
+    }
+    for i in range(blocks):
+        params[f"block_{i}"] = _vitgan_block(sd, f"Transformer_Encoder.blocks.{i}")
+    if "inp.weight" in sd:  # SimpleGenerator (vitgan.py:286)
+        params["inp"] = _dense(sd, "inp")
+    return {"params": params}
+
+
 def convert_vqgan(sd: Dict[str, np.ndarray], config: dict) -> Dict[str, Any]:
     """taming VQModel state dict -> params for models.vqgan.VQGAN.
 

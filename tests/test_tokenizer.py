@@ -1,0 +1,112 @@
+"""Tokenizer algorithm tests with a synthetic merge table (the real
+bpe_simple_vocab_16e6.txt.gz is release data, fetched by download_weights;
+golden-vector parity against clip.tokenize is exercised when it is present)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from feed_forward_vqgan_clip_tpu.tokenizer.bpe import (
+    CONTEXT_LENGTH,
+    ClipTokenizer,
+    bytes_to_unicode,
+)
+
+# A tiny merge table: enough structure to exercise merge ranking, end-of-word
+# markers and multi-round merging.
+MERGES = [
+    "h e",
+    "l l",
+    "he ll",
+    "o</w> !</w>",  # never applicable (different words) — rank noise
+    "hell o</w>",
+    "w o",
+    "r l",
+    "wo rl",
+    "worl d</w>",
+]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return ClipTokenizer(merges=MERGES)
+
+
+class TestBytesToUnicode:
+    def test_bijective_over_all_bytes(self):
+        m = bytes_to_unicode()
+        assert len(m) == 256
+        assert len(set(m.values())) == 256
+
+
+class TestBPE:
+    def test_merges_apply_in_rank_order(self, tok):
+        # 'hello' -> h e l l o</w> -> he ll o</w> -> hell o</w> -> hello</w>
+        assert tok.bpe("hello") == "hello</w>"
+        assert tok.bpe("world") == "world</w>"
+
+    def test_unknown_word_splits_to_chars(self, tok):
+        assert tok.bpe("xyz") == "x y z</w>"
+
+    def test_encode_decode_roundtrip(self, tok):
+        for text in ("hello world", "abc xyz"):
+            ids = tok.encode(text)
+            assert tok.decode(ids) == text.lower()
+
+    def test_decode_spaces_punctuation_like_clip(self, tok):
+        # CLIP's SimpleTokenizer.decode is lossy: every word-piece's </w> becomes a
+        # space, so punctuation is space-separated on the way back.
+        ids = tok.encode("hello, world!")
+        assert tok.decode(ids) == "hello , world !"
+
+    def test_cleaning_lowercases_and_collapses_whitespace(self, tok):
+        assert tok.encode("Hello   WORLD") == tok.encode("hello world")
+
+
+class TestTokenize:
+    def test_framing_and_padding(self, tok):
+        arr = tok.tokenize(["hello"])
+        assert arr.shape == (1, CONTEXT_LENGTH)
+        assert arr[0, 0] == tok.sot
+        body = tok.encode("hello")
+        assert list(arr[0, 1 : 1 + len(body)]) == body
+        assert arr[0, 1 + len(body)] == tok.eot
+        assert (arr[0, 2 + len(body) :] == 0).all()
+
+    def test_truncation_forces_eot(self, tok):
+        long = " ".join(["hello"] * 200)
+        arr = tok.tokenize([long], truncate=True)
+        assert arr.shape == (1, CONTEXT_LENGTH)
+        assert arr[0, -1] == tok.eot
+        with pytest.raises(RuntimeError):
+            tok.tokenize([long], truncate=False)
+
+    def test_batch(self, tok):
+        arr = tok.tokenize(["hello", "world", "hello world"])
+        assert arr.shape == (3, CONTEXT_LENGTH)
+        assert (arr[:, 0] == tok.sot).all()
+
+    def test_string_input(self, tok):
+        assert tok.tokenize("hello").shape == (1, CONTEXT_LENGTH)
+
+    def test_eot_has_max_token_id(self, tok):
+        # CLIP's text pooling relies on argmax(tokens) == eot position
+        arr = tok.tokenize(["hello world"])
+        assert int(np.argmax(arr[0])) == int(np.where(arr[0] == tok.eot)[0][0])
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("FFVC_BPE_PATH") or os.path.exists("bpe_simple_vocab_16e6.txt.gz")),
+    reason="real CLIP merge table not available (zero-egress environment)",
+)
+class TestRealVocab:
+    def test_vocab_size(self):
+        t = ClipTokenizer()
+        assert t.vocab_size == 49408
+        assert t.sot == 49406 and t.eot == 49407
+
+    def test_known_encoding(self):
+        # golden vector: clip.tokenize("a photo of a cat") body
+        t = ClipTokenizer()
+        assert t.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]

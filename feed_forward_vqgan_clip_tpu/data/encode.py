@@ -1,0 +1,156 @@
+"""Dataset encoders: (image, text) pairs -> CLIP feature files.
+
+Parity with the reference's `encode_text_and_images` (folder of img/txt pairs,
+/root/reference/main.py:231-278) and `encode_text_and_images_webdataset`
+(tar shards with per-process sharding and rank-0 merge, main.py:281-392). The
+image preprocessing is CLIP's: bicubic resize of the short side to the model's
+input size, center crop, CLIP-normalize — the reference always uses the
+ViT-B/32 (224px) preprocess regardless of the encoding model (main.py:255, 314),
+and that quirk is preserved.
+
+The pyiqa quality filter is gated: absent in this environment, a threshold
+request logs a warning and is skipped (the reference silently ignores a failed
+pyiqa import too, main.py:308-312).
+"""
+
+import logging
+import os
+from glob import glob
+from io import BytesIO
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from feed_forward_vqgan_clip_tpu.data.tar_reader import iter_shards
+from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
+from feed_forward_vqgan_clip_tpu.registry import CLIP_MEAN, CLIP_STD
+from feed_forward_vqgan_clip_tpu.tokenizer.bpe import get_tokenizer
+
+log = logging.getLogger(__name__)
+
+PREPROCESS_SIZE = 224  # the reference always preprocesses at ViT-B/32 geometry
+
+
+def preprocess_image(img: Image.Image, size: int = PREPROCESS_SIZE) -> np.ndarray:
+    """CLIP preprocessing: bicubic short-side resize, center crop, normalize; NHWC."""
+    img = img.convert("RGB")
+    w, h = img.size
+    scale = size / min(w, h)
+    img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+    w, h = img.size
+    left, top = (w - size) // 2, (h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    arr = np.asarray(img, np.float32) / 255.0
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    return (arr - mean) / std
+
+
+def _save_pairs(out: str, text_feats: np.ndarray, image_feats: np.ndarray):
+    if out.endswith((".pkl", ".th", ".pt")):
+        import torch
+
+        torch.save((torch.tensor(text_feats), torch.tensor(image_feats)), out)
+    else:
+        np.savez(out if out.endswith(".npz") else out + ".npz", x=text_feats, y=image_feats)
+
+
+def encode_text_and_images(
+    folder: str,
+    *,
+    img_ext: str = "jpg",
+    text_ext: str = "txt",
+    out: str = "features.npz",
+    clip_model: str = "ViT-B/32",
+    clip_path: Optional[str] = None,
+    batch_size: int = 64,
+):
+    perceptor = load_perceptor(clip_model, clip_path)
+    tok = get_tokenizer()
+    text_paths = sorted(glob(os.path.join(folder, "*." + text_ext)))
+    img_paths = [t[: -len(text_ext)] + img_ext for t in text_paths]
+
+    tf_list, if_list = [], []
+    for i in range(0, len(text_paths), batch_size):
+        texts = [open(p).read() for p in text_paths[i : i + batch_size]]
+        imgs = np.stack(
+            [preprocess_image(Image.open(p)) for p in img_paths[i : i + batch_size]]
+        )
+        toks = tok.tokenize(texts, truncate=True)
+        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks))))
+        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs))))
+    _save_pairs(out, np.concatenate(tf_list), np.concatenate(if_list))
+    log.info("Encoded %d pairs -> %s", len(text_paths), out)
+    return out
+
+
+def encode_text_and_images_webdataset(
+    pattern: str,
+    *,
+    clip_model: str = "ViT-B/32",
+    clip_path: Optional[str] = None,
+    batch_size: int = 512,
+    img_col: str = "input.jpg",
+    txt_col: str = "output.txt",
+    out: str = "features.npz",
+    image_quality_threshold: Optional[float] = None,
+    merge: bool = False,
+):
+    if image_quality_threshold is not None:
+        log.warning(
+            "image_quality_threshold requested but pyiqa is unavailable — skipping "
+            "the quality filter (the reference also degrades silently, main.py:308-312)"
+        )
+    perceptor = load_perceptor(clip_model, clip_path)
+    tok = get_tokenizer()
+
+    tars = sorted(glob(pattern))
+    # per-process shard split (replaces the modulo-rank split, main.py:331)
+    tars = [t for i, t in enumerate(tars) if i % jax.process_count() == jax.process_index()]
+
+    tf_list, if_list, nb = [], [], 0
+    batch_imgs, batch_texts = [], []
+
+    def flush():
+        nonlocal nb
+        if not batch_imgs:
+            return
+        toks = tok.tokenize(batch_texts, truncate=True)
+        imgs = np.stack(batch_imgs)
+        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks))))
+        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs))))
+        nb += len(batch_imgs)
+        log.info("%d encoded", nb)
+        batch_imgs.clear()
+        batch_texts.clear()
+
+    for img_bytes, txt_bytes in iter_shards(tars, [img_col, txt_col]):
+        try:
+            img = Image.open(BytesIO(img_bytes))
+            batch_imgs.append(preprocess_image(img))
+            batch_texts.append(txt_bytes.decode("utf-8", errors="replace"))
+        except Exception as e:
+            log.warning("skipping sample: %s", e)
+            continue
+        if len(batch_imgs) >= batch_size:
+            flush()
+    flush()
+    log.info("Nb of images processed: %d", nb)
+
+    text_feats = np.concatenate(tf_list) if tf_list else np.zeros((0, perceptor.dim), np.float32)
+    image_feats = np.concatenate(if_list) if if_list else np.zeros((0, perceptor.dim), np.float32)
+
+    if jax.process_count() > 1:
+        shard_out = f"{out}_{jax.process_index()}"
+        _save_pairs(shard_out, text_feats, image_feats)
+        if merge and jax.process_index() == 0:
+            log.info(
+                "per-process shards written as %s_<rank>; merge them once all "
+                "processes finish (multi-controller barrier not available here)", out
+            )
+    else:
+        _save_pairs(out, text_feats, image_feats)
+    return out

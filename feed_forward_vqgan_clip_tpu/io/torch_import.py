@@ -168,6 +168,81 @@ def convert_clip_vit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     }
 
 
+def _basic_fc(sd, prefix, depth=2):
+    """net2net BasicFullyConnectedNet 'main.N' Sequential -> our BasicFC names:
+    fc_in = main.0, fc_i = main.{2(i+1)}, fc_out = main.{2(depth+1)}."""
+    p = {"fc_in": _dense(sd, f"{prefix}.main.0")}
+    for i in range(depth):
+        p[f"fc_{i}"] = _dense(sd, f"{prefix}.main.{2 * (i + 1)}")
+    p["fc_out"] = _dense(sd, f"{prefix}.main.{2 * (depth + 1)}")
+    return p
+
+
+def convert_flow(sd: Dict[str, np.ndarray], n_flows: int, *, hidden_depth: int = None,
+                 conditioning_depth: int = 2) -> Dict[str, Any]:
+    """net2net ConditionalFlatCouplingFlow state dict -> our flow variables.
+
+    Naming: embedder.main.N, sub_layers.{i}.norm_layer.{loc,scale} (1,C,1,1),
+    sub_layers.{i}.coupling.{s,t}.{j}.main.N, sub_layers.{i}.shuffle.
+    forward_shuffle_idx.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if hidden_depth is None:
+        # infer from the number of layers in the first s-net
+        idxs = [
+            int(k.split(".main.")[1].split(".")[0])
+            for k in sd
+            if k.startswith("sub_layers.0.coupling.s.0.main.") and k.endswith("weight")
+        ]
+        hidden_depth = (max(idxs) // 2) - 1
+    params: Dict[str, Any] = {
+        "embedder": _basic_fc(sd, "embedder", conditioning_depth)
+    }
+    buffers: Dict[str, Any] = {}
+    for i in range(n_flows):
+        p = f"sub_layers.{i}"
+        coupling = {}
+        for j in range(2):
+            coupling[f"s_{j}"] = _basic_fc(sd, f"{p}.coupling.s.{j}", hidden_depth)
+            coupling[f"t_{j}"] = _basic_fc(sd, f"{p}.coupling.t.{j}", hidden_depth)
+        params[f"flow_{i}"] = {
+            "norm": {
+                "loc": sd[f"{p}.norm_layer.loc"].reshape(-1),
+                "scale": sd[f"{p}.norm_layer.scale"].reshape(-1),
+            },
+            "coupling": coupling,
+        }
+        buffers[f"flow_{i}"] = {
+            "shuffle": sd[f"{p}.shuffle.forward_shuffle_idx"].astype(np.int32)
+        }
+    return {"params": params, "buffers": buffers}
+
+
+def convert_vgg16(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision vgg16 ('features.N.*') or taming-LPIPS ('net.sliceK.N.*' /
+    'sliceK.N.*') state dict -> params for models.vgg.VGG16Features."""
+    from feed_forward_vqgan_clip_tpu.models.vgg import VGG16_CHANNELS
+
+    by_idx: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        nums = [p for p in parts if p.isdigit()]
+        if not nums or parts[-1] not in ("weight", "bias"):
+            continue
+        idx = int(nums[-1])
+        if idx not in VGG16_CHANNELS:
+            continue
+        by_idx.setdefault(idx, {})[parts[-1]] = np.asarray(v, np.float32)
+    params = {
+        f"conv_{i}": {"kernel": conv_kernel(t["weight"]), "bias": t["bias"]}
+        for i, t in by_idx.items()
+    }
+    missing = set(f"conv_{i}" for i in VGG16_CHANNELS) - set(params)
+    if missing:
+        raise KeyError(f"VGG16 conv layers missing from state dict: {sorted(missing)}")
+    return {"params": params}
+
+
 def convert_mixer(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
     """Reference Mixer state dict -> params for models.mappers.mixer.Mixer.
 

@@ -1,0 +1,78 @@
+"""Device mesh + sharding helpers.
+
+Single-controller JAX replacement for the reference's Horovod layer
+(/root/reference/main.py:41-48, 626-629; SURVEY.md §5 "Distributed communication"):
+  * a ('data', 'model') Mesh over ICI — 'data' carries the batch (the reference's
+    pure DP parity bar), 'model' tensor-shards large mapper FFNs;
+  * params are replicated over 'data' (broadcast_parameters equivalent) and the
+    global-batch mean of the loss auto-inserts the psum the reference got from
+    hvd.DistributedOptimizer's allreduce;
+  * process_index()==0 gates host I/O (rank-0 logging/ckpt, main.py:620).
+"""
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """shape e.g. {'data': 8} or {'data': 4, 'model': 2}; default: all devices on
+    'data', 'model'=1."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = {"data": n, "model": 1}
+    if "model" not in shape:
+        shape = dict(shape, model=1)
+    if "data" not in shape:
+        shape = dict(shape, data=n // shape["model"])
+    d, m = int(shape["data"]), int(shape["model"])
+    if d * m != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(d, m)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place host arrays with batch-dim sharding over 'data'."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    r = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, r), tree)
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def mixer_param_sharding(mesh: Mesh, params):
+    """Tensor-parallel sharding rule for Mixer channel-mix FFNs over 'model':
+    fc1 kernel sharded on its output dim, fc2 on its input dim — the contraction
+    pattern that makes XLA insert a single all-reduce per block over ICI.
+    Everything else is replicated. No-op when the model axis has size 1."""
+    if mesh.shape["model"] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "channel_fc1" in names and names[-1] == "kernel":
+            return NamedSharding(mesh, P(None, "model"))
+        if "channel_fc2" in names and names[-1] == "kernel":
+            return NamedSharding(mesh, P("model", None))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)

@@ -17,6 +17,7 @@ CLIP_SIZE = {
     "cloob_laion_400m_vit_b_16_32_epochs": 224,
     "openclip/ViT-B-32-quickgelu/laion400m_e32": 224,
     "openclip/ViT-B-32/laion2b_e16": 224,
+    "tiny": 32,  # framework extra: smoke/bench preset, not in the reference
 }
 
 CLIP_DIM = {
@@ -32,6 +33,7 @@ CLIP_DIM = {
     "cloob_laion_400m_vit_b_16_32_epochs": 512,
     "openclip/ViT-B-32-quickgelu/laion400m_e32": 512,
     "openclip/ViT-B-32/laion2b_e16": 512,
+    "tiny": 32,
 }
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
@@ -54,6 +56,12 @@ CLIP_VIT_CONFIGS = {
         image_size=224, patch_size=14, vision_width=1024, vision_layers=24,
         vision_heads=16, embed_dim=768, text_width=768, text_layers=12,
         text_heads=12, vocab_size=49408, context_length=77,
+    ),
+    # framework extra: tiny preset for smoke tests / CI (random weights)
+    "tiny": dict(
+        image_size=32, patch_size=8, vision_width=64, vision_layers=2,
+        vision_heads=2, embed_dim=32, text_width=32, text_layers=2,
+        text_heads=2, vocab_size=49408, context_length=77,
     ),
 }
 

@@ -1,0 +1,580 @@
+"""The amortized VQGAN-CLIP trainer.
+
+Functional replica of the reference's `train` (/root/reference/main.py:504-974),
+re-architected TPU-first:
+  * ONE donated, jitted train step over a ('data','model') Mesh containing the whole
+    hot path — text encode -> mapper -> quantize -> VQGAN decode -> cutouts ->
+    CLIP image encode -> loss -> grads -> Adam -> EMA. Params replicated over
+    'data'; batch sharded; the global-batch loss mean auto-inserts the psum that
+    replaces Horovod's DistributedOptimizer allreduce (main.py:627, 839-842).
+  * all randomness (augs, noise factors) from explicit jax.random keys split per
+    step; the fixed NOISE bank is sampled host-side per step exactly like the
+    reference's np.random path (main.py:743-746) and checkpointed (main.py:687).
+  * host work (logging, previews, checkpoints) happens only every log_interval on
+    process 0, so steps pipeline without host sync.
+
+Loss parity, term by term: spherical distance (main.py:811), optional input_loss
+(main.py:812-824), diversity over VGG16 slices (main.py:776-791), L2 (758-762),
+TV (769-773), loss = dists - diversity_coef*div + l2_coef*l2 + tv_coef*tv (831).
+"""
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feed_forward_vqgan_clip_tpu.config import (
+    TrainConfig,
+    resolved_clip_geometry,
+    vqgan_arch_config,
+)
+from feed_forward_vqgan_clip_tpu.data.datasets import (
+    epoch_batches,
+    load_dataset,
+    shard_for_process,
+)
+from feed_forward_vqgan_clip_tpu.io import checkpoint as ckpt_io
+from feed_forward_vqgan_clip_tpu.io.images import save_grid
+from feed_forward_vqgan_clip_tpu.models.mappers import build_mapper
+from feed_forward_vqgan_clip_tpu.models.perceptor import Perceptor, load_perceptor
+from feed_forward_vqgan_clip_tpu.models.vqgan import latent_bounds, make_vqgan, synth
+from feed_forward_vqgan_clip_tpu.ops.cutouts import MakeCutouts
+from feed_forward_vqgan_clip_tpu.ops.grad_ops import clamp_with_grad
+from feed_forward_vqgan_clip_tpu.ops.losses import (
+    diversity_loss,
+    l2_loss,
+    normalize,
+    spherical_dist,
+    spherical_dist_loss,
+    tv_loss,
+)
+from feed_forward_vqgan_clip_tpu.parallel import mesh as meshlib
+from feed_forward_vqgan_clip_tpu.registry import CLIP_MEAN, CLIP_STD
+from feed_forward_vqgan_clip_tpu.train.state import (
+    TrainState,
+    make_optimizer,
+    make_train_state,
+)
+
+log = logging.getLogger(__name__)
+
+
+class FrozenModels(NamedTuple):
+    perceptor: Perceptor
+    vq_module: Any
+    vq_params: Any
+    vgg_module: Any  # None unless diversity_coef
+    vgg_params: Any
+    eval_perceptor: Optional[Perceptor]
+
+
+def _dtype_of(cfg: TrainConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        str(cfg.get("compute_dtype", "bfloat16"))
+    ]
+
+
+def load_vqgan(cfg: TrainConfig, dtype):
+    """Build the VQGAN and load weights: torch .ckpt -> converted; msgpack dir ->
+    native; none -> random init (smoke/bench only)."""
+    arch = vqgan_arch_config(cfg)
+    vq = make_vqgan(arch, dtype=dtype)
+    path = cfg.get("vqgan_checkpoint")
+    if path and os.path.isdir(path):
+        params = {"params": ckpt_io.load_pytree(os.path.join(path, "params.msgpack"))["params"]}
+    elif path and os.path.exists(path):
+        from feed_forward_vqgan_clip_tpu.io.torch_import import (
+            convert_vqgan,
+            load_torch_state_dict,
+        )
+
+        params = convert_vqgan(load_torch_state_dict(path), arch)
+    else:
+        log.warning("No VQGAN weights — random init (smoke/bench only).")
+        z0 = jnp.zeros((1, 4, 4, arch["z_channels"]), jnp.float32)
+        params = jax.jit(vq.init)(jax.random.PRNGKey(0), z0)
+    return vq, params
+
+
+def build_frozen(cfg: TrainConfig, dtype) -> FrozenModels:
+    perceptor = load_perceptor(cfg.get("clip_model"), cfg.get("clip_model_path"), dtype=dtype)
+    vq, vq_params = load_vqgan(cfg, dtype)
+    vgg_module = vgg_params = None
+    if cfg.get("diversity_coef"):
+        from feed_forward_vqgan_clip_tpu.models.vgg import VGG16Features
+
+        vgg_module = VGG16Features(dtype=dtype)
+        vgg_path = cfg.get("vgg_path")
+        if vgg_path and os.path.exists(vgg_path):
+            from feed_forward_vqgan_clip_tpu.io.torch_import import (
+                convert_vgg16,
+                load_torch_state_dict,
+            )
+
+            vgg_params = convert_vgg16(load_torch_state_dict(vgg_path))
+        else:
+            log.warning("No VGG16 weights — random init (diversity loss untrained).")
+            vgg_params = jax.jit(vgg_module.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32)
+            )
+    eval_p = None
+    if cfg.get("eval_path") and cfg.get("eval_clip_model"):
+        eval_p = load_perceptor(cfg.get("eval_clip_model"), dtype=dtype)
+    return FrozenModels(perceptor, vq, vq_params, vgg_module, vgg_params, eval_p)
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    mapper,
+    frozen: FrozenModels,
+    make_cutouts: MakeCutouts,
+    *,
+    inp_is_tokens: bool,
+    out_is_tokens: bool,
+):
+    """Build the jitted train step. Static structure (loss terms, token-vs-feature
+    dispatch, cutn/repeat) is baked in; all arrays flow as arguments."""
+    repeat = int(cfg.get("repeat"))
+    cutn = int(cfg.get("cutn"))
+    clip_size, clip_dim = resolved_clip_geometry(cfg)
+    noise_dim = int(cfg.get("noise_dim") or 0)
+    normalize_input = bool(cfg.get("normalize_input"))
+    input_loss = bool(cfg.get("input_loss"))
+    input_loss_coef = float(cfg.get("input_loss_coef"))
+    target_loss_coef = float(cfg.get("target_loss_coef"))
+    l2_coef = float(cfg.get("l2_coef"))
+    tv_coef = float(cfg.get("tv_coef"))
+    diversity_coef = float(cfg.get("diversity_coef"))
+    diversity_mode = str(cfg.get("diversity_mode"))
+    mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 1, 3)
+    std = jnp.asarray(CLIP_STD).reshape(1, 1, 1, 3)
+    use_pallas = cfg.get("use_pallas")
+    perceptor, vq = frozen.perceptor, frozen.vq_module
+
+    def loss_fn(params, fz, batch, key):
+        z_lo, z_hi = latent_bounds(fz["vq"])
+        inp, out = batch["inp"], batch["out"]
+        bs = inp.shape[0]
+        if inp_is_tokens:
+            inp_feats = perceptor.module.apply(fz["clip"], inp, method=perceptor.module.encode_text)
+        else:
+            inp_feats = inp.astype(jnp.float32)
+        if normalize_input:
+            inp_feats = normalize(inp_feats)
+        if out_is_tokens:
+            out_feats = perceptor.module.apply(fz["clip"], out, method=perceptor.module.encode_text)
+        else:
+            out_feats = out.astype(jnp.float32)
+
+        # (repeat*bs, dim) tiling, repeat-major (main.py:739-740)
+        inp_feats = jnp.tile(inp_feats, (repeat, 1))
+        out_feats = jnp.tile(out_feats, (repeat, 1))
+        if noise_dim:
+            if "noise" in batch:  # fixed bank rows: (repeat, noise_dim)
+                noise = jnp.repeat(batch["noise"], bs, axis=0)
+            else:
+                key, kn = jax.random.split(key)
+                noise = jax.random.normal(kn, (repeat * bs, noise_dim))
+            net_in = jnp.concatenate([inp_feats, noise.astype(inp_feats.dtype)], axis=1)
+        else:
+            net_in = inp_feats
+
+        z = mapper.apply(params, net_in)  # (repeat*bs, S, S, C)
+        l2 = l2_loss(z) if l2_coef > 0 else jnp.float32(0.0)
+        z = clamp_with_grad(z, z_lo, z_hi)
+        xr = synth(vq, fz["vq"], z, use_pallas=use_pallas)  # (repeat*bs, H, W, 3)
+        xr = xr.astype(jnp.float32)
+
+        tv = tv_loss(xr) if tv_coef > 0 else jnp.float32(0.0)
+
+        if diversity_coef:
+            feats = frozen.vgg_module.apply(fz["vgg"], (xr - mean) / std)
+            div = diversity_loss(
+                [f.astype(jnp.float32) for f in feats], repeat, bs, diversity_mode
+            )
+        else:
+            div = jnp.float32(0.0)
+
+        key, kc = jax.random.split(key)
+        x = make_cutouts(kc, xr)  # (cutn*repeat*bs, h, w, 3)
+        x = (x - mean) / std
+        embed = perceptor.module.apply(fz["clip"], x, method=perceptor.module.encode_image)
+        embed = normalize(embed.astype(jnp.float32))
+
+        H = normalize(jnp.tile(out_feats, (cutn, 1)))  # (cutn*repeat*bs, dim)
+        dists = target_loss_coef * spherical_dist_loss(H, embed)
+        if input_loss:
+            Hi = normalize(jnp.tile(inp_feats, (cutn, 1)))
+            dists = dists + input_loss_coef * spherical_dist_loss(Hi, embed)
+
+        loss = dists - diversity_coef * div + l2_coef * l2 + tv_coef * tv
+        return loss, {"loss": loss, "dists": dists, "diversity": div, "l2": l2, "tv": tv}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, fz, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, fz, batch, key
+        )
+        return state.apply_gradients(grads), metrics
+
+    return train_step, loss_fn
+
+
+def make_render_fn(cfg: TrainConfig, mapper, frozen: FrozenModels):
+    """images for previews: params, features(+noise) -> synth output (no cutouts)."""
+    use_pallas = cfg.get("use_pallas")
+
+    @jax.jit
+    def render(params, fz, net_in):
+        z_lo, z_hi = latent_bounds(fz["vq"])
+        z = mapper.apply(params, net_in)
+        z = clamp_with_grad(z, z_lo, z_hi)
+        return synth(frozen.vq_module, fz["vq"], z, use_pallas=use_pallas).astype(jnp.float32)
+
+    return render
+
+
+def make_eval_step(cfg: TrainConfig, mapper, frozen: FrozenModels, eval_p: Perceptor):
+    """In-train eval (main.py:866-896): no-cutout pass, bilinear resize to
+    clip_size, CLIP score with the eval perceptor's logit scale."""
+    clip_size = eval_p.size
+    use_pallas = cfg.get("use_pallas")
+
+    @jax.jit
+    def eval_step(params, fz, eval_fz, feats):
+        z_lo, z_hi = latent_bounds(fz["vq"])
+        z = mapper.apply(params, feats)
+        z = clamp_with_grad(z, z_lo, z_hi)
+        xr = synth(frozen.vq_module, fz["vq"], z, use_pallas=use_pallas).astype(jnp.float32)
+        xr = jax.image.resize(
+            xr, (xr.shape[0], clip_size, clip_size, 3), "bilinear"
+        )
+        mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 1, 3)
+        std = jnp.asarray(CLIP_STD).reshape(1, 1, 1, 3)
+        embed = eval_p.module.apply(
+            eval_fz, (xr - mean) / std, method=eval_p.module.encode_image
+        )
+        embed = normalize(embed.astype(jnp.float32))
+        H = normalize(feats[:, : embed.shape[1]].astype(jnp.float32))
+        dists = spherical_dist(H, embed)
+        scale = jnp.exp(eval_fz["params"]["logit_scale"])
+        scores = scale * jnp.sum(H * embed, axis=1)
+        return dists, scores
+
+    return eval_step
+
+
+def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer fn
+    dtype = _dtype_of(cfg)
+    folder = cfg.get("folder") or "."
+    os.makedirs(folder, exist_ok=True)
+    seed = int(cfg.get("seed") or 0)
+    root_key = jax.random.PRNGKey(seed)
+
+    mesh = meshlib.make_mesh(cfg.get("mesh_shape"))
+    primary = meshlib.is_primary()
+
+    # ---- data
+    data = load_dataset(cfg.get("path"))
+    if isinstance(data, tuple):
+        inp_all, out_all = np.asarray(data[0]), np.asarray(data[1])
+    else:
+        inp_all = out_all = np.asarray(data)
+    inp_is_tokens = np.issubdtype(inp_all.dtype, np.integer)
+    out_is_tokens = np.issubdtype(out_all.dtype, np.integer)
+    n_local = len(shard_for_process(len(inp_all), jax.process_index(), jax.process_count()))
+    log.info("Number of examples: %d (%d local)", len(inp_all), n_local)
+
+    # ---- frozen models + mapper
+    frozen = build_frozen(cfg, dtype)
+    clip_size, clip_dim = resolved_clip_geometry(cfg)
+    arch = vqgan_arch_config(cfg)
+    mapper = build_mapper(dict(cfg), vq_channels=int(arch["z_channels"]), dtype=dtype)
+
+    noise_dim = int(cfg.get("noise_dim") or 0)
+    nb_noise = cfg.get("nb_noise")
+    sample_dim = clip_dim + noise_dim
+    init_key, noise_key, root_key = jax.random.split(root_key, 3)
+
+    epoch0, step = 0, 0
+    noise_bank = None
+    ema_params = None
+    if ckpt_io.checkpoint_exists(folder):
+        params, _cfg_saved, step, epoch0, noise_bank = ckpt_io.load_checkpoint(
+            os.path.join(folder, "checkpoint")
+        )
+        log.info("Resuming model from %s (step %d, epoch %d)", folder, step, epoch0)
+        if ckpt_io.checkpoint_exists(folder, "checkpoint_ema"):
+            ema_params, *_ = ckpt_io.load_checkpoint(os.path.join(folder, "checkpoint_ema"))
+    else:
+        params = jax.jit(mapper.init)(
+            init_key, jnp.zeros((1, sample_dim), jnp.float32)
+        )
+
+    if noise_dim and nb_noise and noise_bank is None:
+        # fixed noise bank, replicated (replaces hvd.broadcast of NOISE, main.py:680-687)
+        noise_bank = np.asarray(jax.random.normal(noise_key, (int(nb_noise), noise_dim)))
+
+    tx = make_optimizer(
+        float(cfg.get("lr")),
+        scheduler=cfg.get("scheduler"),
+        max_steps=cfg.get("max_steps"),
+        clip_grad_norm=cfg.get("clip_grad_norm"),
+    )
+    state = make_train_state(
+        params, tx,
+        use_ema=bool(cfg.get("use_ema")), ema_decay=float(cfg.get("ema_decay")),
+        step=step, ema_params=ema_params,
+    )
+    opt_path = os.path.join(folder, "opt", "state.msgpack")
+    if os.path.exists(opt_path):
+        log.info("Resuming optimizer state from %s", opt_path)
+        state = state.replace(opt_state=ckpt_io.load_pytree(opt_path, like=state.opt_state))
+
+    # ---- placement
+    param_shard = meshlib.replicated(mesh)
+    with mesh:
+        state = jax.tree.map(lambda a: jax.device_put(a, param_shard), state)
+        fz: Dict[str, Any] = {"clip": frozen.perceptor.params, "vq": frozen.vq_params}
+        if frozen.vgg_params is not None:
+            fz["vgg"] = frozen.vgg_params
+        fz = meshlib.replicate(mesh, fz)
+
+    make_cutouts = MakeCutouts(
+        cut_size=int(cfg.get("cut_size") or clip_size),
+        cutn=int(cfg.get("cutn")),
+        augs=cfg.get("augs"),
+        pool=bool(cfg.get("pool", True)),
+        pool_size=int(cfg.get("pool_size") or clip_size),
+        interpolate=bool(cfg.get("interpolate")),
+        interp_size=int(cfg.get("interp_size") or clip_size),
+        noise_fac=float(cfg.get("noise_fac")),
+    )
+    train_step, _ = make_train_step(
+        cfg, mapper, frozen, make_cutouts,
+        inp_is_tokens=inp_is_tokens, out_is_tokens=out_is_tokens,
+    )
+    render = make_render_fn(cfg, mapper, frozen)
+
+    eval_data = None
+    if cfg.get("eval_path"):
+        eval_data = load_dataset(cfg.get("eval_path"))
+        eval_p = frozen.eval_perceptor or frozen.perceptor
+        eval_step = make_eval_step(cfg, mapper, frozen, eval_p)
+        eval_fz = meshlib.replicate(mesh, eval_p.params)
+
+    writer = None
+    if primary:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(folder)
+        except Exception as e:  # pragma: no cover
+            log.warning("TensorBoard writer unavailable: %s", e)
+    use_wandb = bool(cfg.get("use_wandb"))
+    wandb_run = None
+    if use_wandb and primary:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=cfg.get("wandb_project"), entity=cfg.get("wandb_entity"),
+                resume=False, config=dict(cfg),
+            )
+        except Exception as e:  # pragma: no cover
+            log.warning("wandb unavailable: %s", e)
+            use_wandb = False
+
+    bs = int(cfg.get("batch_size"))
+    repeat = int(cfg.get("repeat"))
+    log_interval = int(cfg.get("log_interval"))
+    max_steps = cfg.get("max_steps")
+    epochs = int(cfg.get("epochs"))
+    local_idx = shard_for_process(len(inp_all), jax.process_index(), jax.process_count())
+    avg_loss = 1.0
+    host_rng = np.random.default_rng(seed + jax.process_index())
+
+    n_data = mesh.shape["data"]
+    if bs % n_data != 0:
+        raise ValueError(
+            f"batch_size={bs} must be divisible by the data mesh axis ({n_data} "
+            f"devices) — static shard shapes are a TPU requirement"
+        )
+
+    def batch_for(ids):
+        b = {
+            "inp": jax.device_put(inp_all[ids], meshlib.data_sharding(mesh)),
+            "out": jax.device_put(out_all[ids], meshlib.data_sharding(mesh)),
+        }
+        if noise_dim and nb_noise is not None and noise_bank is not None:
+            rows = host_rng.permutation(len(noise_bank))[:repeat]
+            # the shared noise rows are identical on every shard (the reference
+            # broadcasts the bank, main.py:686) -> replicated placement
+            b["noise"] = jax.device_put(noise_bank[rows], meshlib.replicated(mesh))
+        return b
+
+    first_ids = local_idx[
+        epoch_batches(len(local_idx), bs, seed=seed, epoch=epoch0, drop_last=False)[0]
+    ]
+    decode_tokens = _make_token_decoder() if inp_is_tokens else None
+
+    t_start = time.time()
+    with mesh:
+        for epoch in range(epoch0, epochs):
+            for ids in epoch_batches(len(local_idx), bs, seed=seed, epoch=epoch, drop_last=False):
+                batch = batch_for(local_idx[ids])
+                step_key = jax.random.fold_in(root_key, step)
+                state, metrics = train_step(state, fz, batch, step_key)
+
+                if primary and (step % log_interval == 0):
+                    m = {k: float(v) for k, v in metrics.items()}
+                    avg_loss = m["loss"] * 0.01 + avg_loss * 0.99
+                    if writer:
+                        for k, v in m.items():
+                            writer.add_scalar(k, v, step)
+                    print(
+                        f"epoch:{epoch:03d}, step:{step:05d}, avg_loss:{avg_loss:.3f}, "
+                        f"loss:{m['loss']:.3f}, dists:{m['dists']:.3f}, "
+                        f"div:{m['diversity']:.3f}, l2:{m['l2']:.3f} tv:{m['tv']}",
+                        flush=True,
+                    )
+                    _log_step_artifacts(
+                        cfg, folder, mapper, frozen, state, fz, batch, render,
+                        step, epoch, noise_bank, decode_tokens, writer,
+                        first_ids, inp_all, out_all, noise_dim, clip_dim,
+                        inp_is_tokens, mesh,
+                    )
+                    if eval_data is not None:
+                        ed, es = _run_eval(
+                            eval_step, state.params, fz, eval_fz, eval_data,
+                            frozen, bs, noise_dim, mesh,
+                        )
+                        print(f"Eval dists: {ed:.3f}\nEval clip score: {es:.3f}", flush=True)
+                        if writer:
+                            writer.add_scalar("eval_dists", ed, step)
+                            writer.add_scalar("eval_clip_score", es, step)
+                    if use_wandb and wandb_run:
+                        wandb_run.log(dict(m, avg_loss=avg_loss), step=step)
+                else:
+                    # keep the host loop async: only touch metrics on log steps
+                    pass
+
+                step += 1
+                if max_steps is not None and step >= int(max_steps):
+                    if primary:
+                        _save_all(folder, cfg, state, step, epoch, noise_bank)
+                    log.info(
+                        "Reached max_steps=%s in %.1fs", max_steps, time.time() - t_start
+                    )
+                    return state
+    if primary:
+        _save_all(folder, cfg, state, step, max(epochs - 1, epoch0), noise_bank)
+    return state
+
+
+def _make_token_decoder():
+    try:
+        from feed_forward_vqgan_clip_tpu.tokenizer.bpe import get_tokenizer
+
+        return get_tokenizer().decode
+    except FileNotFoundError:
+        return None
+
+
+def _save_all(folder, cfg, state, step, epoch, noise_bank):
+    ckpt_io.save_checkpoint(folder, "checkpoint", state.params, cfg, step, epoch, noise_bank)
+    if state.ema_params is not None:
+        ckpt_io.save_checkpoint(
+            folder, "checkpoint_ema", state.ema_params, cfg, step, epoch, noise_bank
+        )
+    os.makedirs(os.path.join(folder, "opt"), exist_ok=True)
+    ckpt_io.save_pytree(os.path.join(folder, "opt", "state.msgpack"), state.opt_state)
+
+
+def _log_step_artifacts(
+    cfg, folder, mapper, frozen, state, fz, batch, render, step, epoch,
+    noise_bank, decode_tokens, writer, first_ids, inp_all, out_all,
+    noise_dim, clip_dim, inp_is_tokens, mesh,
+):
+    """progress grids + prompt sidecars + checkpoints (main.py:899-949)."""
+    bs = int(cfg.get("batch_size"))
+    repeat = int(cfg.get("repeat"))
+    # re-render current batch through the no-cutout path
+    net_in = _features_for(frozen, fz, batch["inp"], inp_is_tokens, cfg)
+    net_in = jnp.tile(net_in, (repeat, 1))
+    if noise_dim:
+        noise = (
+            jnp.repeat(jnp.asarray(batch["noise"]), net_in.shape[0] // batch["noise"].shape[0], axis=0)
+            if "noise" in batch
+            else jax.random.normal(jax.random.PRNGKey(step), (net_in.shape[0], noise_dim))
+        )
+        net_in = jnp.concatenate([net_in, noise.astype(net_in.dtype)], axis=1)
+    xr = np.asarray(render(state.params, fz, net_in))
+    save_grid(xr, os.path.join(folder, "progress.png"), nrow=bs)
+    save_grid(xr, os.path.join(folder, f"progress_{step:010d}.png"), nrow=bs)
+
+    if inp_is_tokens and decode_tokens is not None:
+        text = "\n".join(decode_tokens(t) for t in np.asarray(batch["inp"]))
+        for name in ("progress.txt", f"progress_{step:010d}.txt"):
+            with open(os.path.join(folder, name), "w") as fd:
+                fd.write(text)
+
+    _save_all(folder, cfg, state, step, epoch, noise_bank)
+
+    # fixed-batch preview with EMA params when enabled (main.py:920-949)
+    fixed_inp = jnp.asarray(inp_all[first_ids])
+    net_in = _features_for(frozen, fz, fixed_inp, inp_is_tokens, cfg)
+    if noise_dim:
+        nz = (
+            jnp.asarray(noise_bank[: len(net_in)])
+            if noise_bank is not None and len(noise_bank) >= len(net_in)
+            else jax.random.normal(jax.random.PRNGKey(0), (len(net_in), noise_dim))
+        )
+        net_in = jnp.concatenate([net_in, nz.astype(net_in.dtype)], axis=1)
+    preview_params = state.ema_params if state.ema_params is not None else state.params
+    xf = np.asarray(render(preview_params, fz, net_in))
+    save_grid(xf, os.path.join(folder, "fixed_batch_progress.png"), nrow=bs)
+    save_grid(xf, os.path.join(folder, f"fixed_batch_progress_{step:010d}.png"), nrow=bs)
+    if step == 0 and inp_is_tokens and decode_tokens is not None:
+        with open(os.path.join(folder, "fixed_batch.txt"), "w") as fd:
+            fd.write("\n".join(decode_tokens(t) for t in np.asarray(fixed_inp)))
+
+
+def _features_for(frozen, fz, inp, inp_is_tokens, cfg):
+    p = frozen.perceptor
+    if inp_is_tokens:
+        feats = p.module.apply(fz["clip"], jnp.asarray(inp), method=p.module.encode_text)
+    else:
+        feats = jnp.asarray(inp, jnp.float32)
+    if cfg.get("normalize_input"):
+        feats = normalize(feats)
+    return feats.astype(jnp.float32)
+
+
+def _run_eval(eval_step, params, fz, eval_fz, eval_data, frozen, bs, noise_dim, mesh):
+    data = np.asarray(eval_data if not isinstance(eval_data, tuple) else eval_data[0])
+    dists_all, scores_all = [], []
+    for i in range(0, len(data) - len(data) % bs or len(data), bs):
+        chunk = data[i : i + bs]
+        if len(chunk) < bs:
+            break
+        if np.issubdtype(chunk.dtype, np.integer):
+            p = frozen.eval_perceptor or frozen.perceptor
+            feats = p.module.apply(eval_fz, jnp.asarray(chunk), method=p.module.encode_text)
+        else:
+            feats = jnp.asarray(chunk, jnp.float32)
+        if noise_dim:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((len(feats), noise_dim), feats.dtype)], axis=1
+            )
+        d, s = eval_step(params, fz, eval_fz, feats)
+        dists_all.append(np.asarray(d))
+        scores_all.append(np.asarray(s))
+    if not dists_all:
+        return 0.0, 0.0
+    return float(np.concatenate(dists_all).mean()), float(np.concatenate(scores_all).mean())

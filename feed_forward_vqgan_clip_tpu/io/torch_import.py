@@ -168,6 +168,96 @@ def convert_clip_vit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     }
 
 
+def _frozen_bn(sd, prefix):
+    return {
+        "scale": sd[f"{prefix}.weight"],
+        "bias": sd[f"{prefix}.bias"],
+        "mean": sd[f"{prefix}.running_mean"],
+        "var": sd[f"{prefix}.running_var"],
+    }
+
+
+def _conv_nobias(sd, prefix):
+    return {"kernel": conv_kernel(sd[f"{prefix}.weight"])}
+
+
+def _bottleneck(sd, prefix):
+    p = {
+        "conv1": _conv_nobias(sd, f"{prefix}.conv1"),
+        "bn1": _frozen_bn(sd, f"{prefix}.bn1"),
+        "conv2": _conv_nobias(sd, f"{prefix}.conv2"),
+        "bn2": _frozen_bn(sd, f"{prefix}.bn2"),
+        "conv3": _conv_nobias(sd, f"{prefix}.conv3"),
+        "bn3": _frozen_bn(sd, f"{prefix}.bn3"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        p["downsample_conv"] = _conv_nobias(sd, f"{prefix}.downsample.0")
+        p["downsample_bn"] = _frozen_bn(sd, f"{prefix}.downsample.1")
+    return p
+
+
+def convert_clip_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """OpenAI CLIP RN / ml-jku CLOOB state dict -> params for CLIPResNet.
+
+    CLOOB (cloob.py:658-681) nests the text tower under 'transformer.' and uses
+    'logit_inv_tau' instead of 'logit_scale'; both namings are normalized here.
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    if "logit_inv_tau" in sd:  # CLOOB layout -> CLIP layout
+        remap = {}
+        for k, v in sd.items():
+            if k == "logit_inv_tau":
+                remap["logit_scale"] = v
+            elif k == "logit_scale_hopfield":
+                continue  # training-loss-only parameter, no encode role
+            elif k.startswith("transformer."):
+                remap[k[len("transformer."):]] = v
+            else:
+                remap[k] = v
+        sd = remap
+
+    n_txt = max(
+        int(k.split(".")[2]) + 1 for k in sd if k.startswith("transformer.resblocks.")
+    )
+    visual: Dict[str, Any] = {
+        "conv1": _conv_nobias(sd, "visual.conv1"),
+        "bn1": _frozen_bn(sd, "visual.bn1"),
+        "conv2": _conv_nobias(sd, "visual.conv2"),
+        "bn2": _frozen_bn(sd, "visual.bn2"),
+        "conv3": _conv_nobias(sd, "visual.conv3"),
+        "bn3": _frozen_bn(sd, "visual.bn3"),
+        "attnpool": {
+            "positional_embedding": sd["visual.attnpool.positional_embedding"],
+            "q_proj": _dense(sd, "visual.attnpool.q_proj"),
+            "k_proj": _dense(sd, "visual.attnpool.k_proj"),
+            "v_proj": _dense(sd, "visual.attnpool.v_proj"),
+            "c_proj": _dense(sd, "visual.attnpool.c_proj"),
+        },
+    }
+    for li in range(1, 5):
+        bi = 0
+        while f"visual.layer{li}.{bi}.conv1.weight" in sd:
+            visual[f"layer{li}_{bi}"] = _bottleneck(sd, f"visual.layer{li}.{bi}")
+            bi += 1
+    text: Dict[str, Any] = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": _layernorm(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+        "transformer": {
+            f"resblock_{i}": _resblock(sd, f"transformer.resblocks.{i}")
+            for i in range(n_txt)
+        },
+    }
+    return {
+        "params": {
+            "visual": visual,
+            "text": text,
+            "logit_scale": sd["logit_scale"].reshape(()),
+        }
+    }
+
+
 def _basic_fc(sd, prefix, depth=2):
     """net2net BasicFullyConnectedNet 'main.N' Sequential -> our BasicFC names:
     fc_in = main.0, fc_i = main.{2(i+1)}, fc_out = main.{2(depth+1)}."""

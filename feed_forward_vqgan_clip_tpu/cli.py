@@ -69,6 +69,7 @@ def _cmd_evaluate(args):
         img_folder=args.img_folder, images_per_row=args.images_per_row,
         seed=args.seed, clip_model=args.clip_model, compute_fid=args.compute_fid,
         inception_features_real_path=args.inception_features_real_path,
+        inception_weights_path=args.inception_weights_path,
         prior_path=args.prior_path,
     )
 
@@ -158,6 +159,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--clip-model", default="ViT-B/32")
     t.add_argument("--compute-fid", action="store_true")
     t.add_argument("--inception-features-real-path", default=None)
+    t.add_argument("--inception-weights-path", default=None)
     t.add_argument("--prior-path", default=None)
     t.set_defaults(fn=_cmd_evaluate)
 
@@ -170,7 +172,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("bench", help="run the benchmark harness")
     t.set_defaults(fn=_cmd_bench)
+
+    t = sub.add_parser("serve", help="gradio web app over local checkpoints (app.py:118-124)")
+    t.add_argument("model_paths", nargs="*", help="mapper checkpoints (default: auto-discover)")
+    t.set_defaults(fn=_cmd_serve)
     return p
+
+
+def _cmd_serve(args):
+    from feed_forward_vqgan_clip_tpu.serve.app import build_app
+
+    build_app(args.model_paths or None).launch()
 
 
 def main(argv=None):

@@ -43,6 +43,7 @@ def evaluate(
     clip_model_path: Optional[str] = None,
     compute_fid: bool = False,
     inception_features_real_path: Optional[str] = None,
+    inception_weights_path: Optional[str] = None,
     prior_path: Optional[str] = None,
 ):
     name = os.path.basename(data_path) + "_" + clip_model.replace("/", "_")
@@ -67,7 +68,7 @@ def evaluate(
         assert inception_features_real_path, "FID needs inception_features_real_path"
         from feed_forward_vqgan_clip_tpu.models.inception import make_inception_fn
 
-        inception_fn = make_inception_fn()
+        inception_fn = make_inception_fn(inception_weights_path)
 
     toks = load_dataset(data_path)
     if isinstance(toks, tuple):

@@ -308,6 +308,39 @@ def convert_flow(sd: Dict[str, np.ndarray], n_flows: int, *, hidden_depth: int =
     return {"params": params, "buffers": buffers}
 
 
+def _inception_bn(sd, prefix):
+    return {
+        "scale": sd[f"{prefix}.weight"],
+        "bias": sd[f"{prefix}.bias"],
+        "mean": sd[f"{prefix}.running_mean"],
+        "var": sd[f"{prefix}.running_var"],
+    }
+
+
+def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision inception_v3 (or the FID-port, same naming) state dict ->
+    params for models.inception.InceptionV3Features. Every BasicConv2d is
+    '<block>.conv.weight' + '<block>.bn.{weight,bias,running_mean,running_var}';
+    fc / AuxLogits are dropped (feature extractor only)."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    blocks: Dict[str, Any] = {}
+    for k in sd:
+        if not k.endswith(".conv.weight"):
+            continue
+        path = k[: -len(".conv.weight")]  # e.g. Mixed_5b.branch1x1
+        parts = path.split(".")
+        node = blocks
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {
+            "conv": {"kernel": conv_kernel(sd[k])},
+            "bn": _inception_bn(sd, f"{path}.bn"),
+        }
+    if "Conv2d_1a_3x3" not in blocks:
+        raise KeyError("state dict does not look like torchvision inception_v3")
+    return {"params": blocks}
+
+
 def convert_vgg16(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision vgg16 ('features.N.*') or taming-LPIPS ('net.sliceK.N.*' /
     'sliceK.N.*') state dict -> params for models.vgg.VGG16Features."""

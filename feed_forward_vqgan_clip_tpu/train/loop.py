@@ -423,13 +423,24 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     ]
     decode_tokens = _make_token_decoder() if inp_is_tokens else None
 
+    # Profiling (framework extra — the reference has no tracing at all,
+    # SURVEY.md §5): capture a jax.profiler trace of steps [10, 15).
+    profile_dir = cfg.get("profile_dir")
+    profile_window = (10, 15) if profile_dir else None
+
     t_start = time.time()
     with mesh:
         for epoch in range(epoch0, epochs):
             for ids in epoch_batches(len(local_idx), bs, seed=seed, epoch=epoch, drop_last=False):
+                if profile_window and step == profile_window[0] and primary:
+                    jax.profiler.start_trace(profile_dir)
                 batch = batch_for(local_idx[ids])
                 step_key = jax.random.fold_in(root_key, step)
                 state, metrics = train_step(state, fz, batch, step_key)
+                if profile_window and step == profile_window[1] and primary:
+                    jax.tree.map(lambda a: a.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    log.info("Wrote profiler trace to %s", profile_dir)
 
                 if primary and (step % log_interval == 0):
                     m = {k: float(v) for k, v in metrics.items()}

@@ -107,6 +107,20 @@ class ClipTokenizer:
         self.sot = self.encoder[SOT_TOKEN]
         self.eot = self.encoder[EOT_TOKEN]
         self.vocab_size = len(self.encoder)
+        self._native = None
+        self._id_cache: dict = {}
+        try:
+            from feed_forward_vqgan_clip_tpu.native import NativeBPE
+
+            # every merge's operands and result are encoder vocab entries, so the
+            # whole merge table lowers to integer ids for the C++ kernel
+            table = [
+                (self.encoder[a], self.encoder[b], rank, self.encoder[a + b])
+                for (a, b), rank in self.bpe_ranks.items()
+            ]
+            self._native = NativeBPE(table)
+        except Exception:
+            self._native = None
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -144,11 +158,29 @@ class ClipTokenizer:
         self.cache[token] = out
         return out
 
+    def _syms(self, tok: str) -> List[int]:
+        return [self.encoder[c] for c in tok[:-1]] + [self.encoder[tok[-1] + "</w>"]]
+
     def encode(self, text: str) -> List[int]:
+        words = [
+            "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for tok in _WORD_PAT.findall(_clean(text))
+        ]
+        cache = self._id_cache
+        missing = [w for w in dict.fromkeys(words) if w not in cache]
+        if missing:
+            if self._native is not None:
+                # one FFI call for every new word in the text
+                for w, ids in zip(
+                    missing, self._native.apply_batch([self._syms(w) for w in missing])
+                ):
+                    cache[w] = ids
+            else:
+                for w in missing:
+                    cache[w] = [self.encoder[t] for t in self.bpe(w).split(" ")]
         tokens: List[int] = []
-        for tok in _WORD_PAT.findall(_clean(text)):
-            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            tokens.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
+        for w in words:
+            tokens.extend(cache[w])
         return tokens
 
     def decode(self, token_ids: Iterable[int]) -> str:

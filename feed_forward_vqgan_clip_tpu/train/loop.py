@@ -184,7 +184,14 @@ def make_train_step(
         else:
             net_in = inp_feats
 
-        z = mapper.apply(params, net_in)  # (repeat*bs, S, S, C)
+        dropout = float(cfg.get("dropout") or 0.0)
+        if dropout > 0:
+            key, kd = jax.random.split(key)
+            z = mapper.apply(
+                params, net_in, deterministic=False, rngs={"dropout": kd}
+            )
+        else:
+            z = mapper.apply(params, net_in)  # (repeat*bs, S, S, C)
         l2 = l2_loss(z) if l2_coef > 0 else jnp.float32(0.0)
         z = clamp_with_grad(z, z_lo, z_hi)
         xr = synth(vq, fz["vq"], z, use_pallas=use_pallas)  # (repeat*bs, H, W, 3)

@@ -90,7 +90,7 @@ class TestTrainE2E:
             tmp_path, path=feature_data, input_loss=True, l2_coef=0.1,
             tv_coef=0.1, normalize_input=True, repeat=2, diversity_coef=0.05,
             noise_dim=8, nb_noise=4, use_ema=True, ema_decay=0.9,
-            scheduler="cosine", clip_grad_norm=1.0, max_steps=3,
+            scheduler="cosine", clip_grad_norm=1.0, max_steps=3, dropout=0.1,
         )
         state = train(cfg)
         assert int(state.step) == 3

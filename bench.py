@@ -29,11 +29,13 @@ import json
 import sys
 import time
 
+import os
+
 import numpy as np
 
 A100_TF32_PEAK = 156e12
 A100_EAGER_UTIL = 0.35
-BATCH = 32
+BATCH = int(os.environ.get("FFVC_BENCH_BATCH", 64))
 K_ITERS = 50  # one compiled scan; dispatch+readback overhead (~30ms) is <1% of wall
 
 

@@ -139,6 +139,10 @@ def vqgan_arch_config(cfg: TrainConfig) -> dict:
         with open(yaml_path) as fd:
             taming = yaml.safe_load(fd)
         p = taming["model"]["params"]
+        if "first_stage_config" in p:
+            # Net2NetTransformer yaml: the VQGAN lives in first_stage_config
+            # (reference main.py:95-99 takes .first_stage_model)
+            p = p["first_stage_config"]["params"]
         dd = p["ddconfig"]
         return dict(
             n_embed=p["n_embed"], embed_dim=p["embed_dim"],

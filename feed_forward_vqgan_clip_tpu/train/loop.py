@@ -477,7 +477,21 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
                             writer.add_scalar("eval_dists", ed, step)
                             writer.add_scalar("eval_clip_score", es, step)
                     if use_wandb and wandb_run:
-                        wandb_run.log(dict(m, avg_loss=avg_loss), step=step)
+                        payload = dict(m, avg_loss=avg_loss)
+                        try:  # image panels (main.py:951-966)
+                            import wandb as _wandb
+
+                            payload["image"] = [
+                                _wandb.Image(os.path.join(folder, "progress.png"))
+                            ]
+                            payload["image_fixed"] = [
+                                _wandb.Image(
+                                    os.path.join(folder, "fixed_batch_progress.png")
+                                )
+                            ]
+                        except Exception:  # pragma: no cover
+                            pass
+                        wandb_run.log(payload, step=step)
                 else:
                     # keep the host loop async: only touch metrics on log steps
                     pass

@@ -201,3 +201,25 @@ class TestCheckpointIO:
         with torch.no_grad():
             want = np.transpose(tm(torch.tensor(x)).numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+class TestVqganYaml:
+    def test_plain_and_net2net_yaml(self, tmp_path):
+        import yaml
+
+        from feed_forward_vqgan_clip_tpu.config import make_config, vqgan_arch_config
+
+        dd = dict(z_channels=8, resolution=16, in_channels=3, out_ch=3, ch=8,
+                  ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[4], dropout=0.0)
+        plain = dict(model=dict(target="taming.models.vqgan.VQModel",
+                                params=dict(n_embed=32, embed_dim=8, ddconfig=dd)))
+        net2net = dict(model=dict(
+            target="taming.models.cond_transformer.Net2NetTransformer",
+            params=dict(first_stage_config=dict(
+                params=dict(n_embed=32, embed_dim=8, ddconfig=dd)))))
+        for name, doc in (("plain.yaml", plain), ("n2n.yaml", net2net)):
+            p = tmp_path / name
+            yaml.safe_dump(doc, open(p, "w"))
+            arch = vqgan_arch_config(make_config(vqgan_config=str(p)))
+            assert arch["n_embed"] == 32 and arch["z_channels"] == 8
+            assert arch["ch_mult"] == (1, 2)

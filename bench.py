@@ -44,6 +44,9 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
+    from feed_forward_vqgan_clip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from __graft_entry__ import entry
 
     fn, (tokens, mp, cp, vp) = entry()

@@ -67,7 +67,8 @@ def _cmd_evaluate(args):
         out_folder=args.out_folder, clip_threshold=args.clip_threshold,
         nb_test=args.nb_test, save_images=args.save_images,
         img_folder=args.img_folder, images_per_row=args.images_per_row,
-        seed=args.seed, clip_model=args.clip_model, compute_fid=args.compute_fid,
+        seed=args.seed, clip_model=args.clip_model,
+        clip_model_path=args.clip_model_path, compute_fid=args.compute_fid,
         inception_features_real_path=args.inception_features_real_path,
         inception_weights_path=args.inception_weights_path,
         prior_path=args.prior_path,
@@ -157,6 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--images-per-row", type=int, default=8)
     t.add_argument("--seed", type=int, default=42)
     t.add_argument("--clip-model", default="ViT-B/32")
+    t.add_argument("--clip-model-path", default=None, help="weights for the eval perceptor")
     t.add_argument("--compute-fid", action="store_true")
     t.add_argument("--inception-features-real-path", default=None)
     t.add_argument("--inception-weights-path", default=None)
@@ -187,6 +189,9 @@ def _cmd_serve(args):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    from feed_forward_vqgan_clip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

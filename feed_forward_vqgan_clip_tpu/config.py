@@ -45,6 +45,7 @@ DEFAULTS: Dict[str, Any] = {
     "path": None,
     "eval_path": None,
     "eval_clip_model": None,
+    "eval_clip_model_path": None,  # weights for the eval perceptor (framework extra)
     "folder": None,
     "log_interval": 100,
     "diversity_coef": 0.0,

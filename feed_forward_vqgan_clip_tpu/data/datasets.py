@@ -80,6 +80,8 @@ def epoch_batches(n: int, batch_size: int, *, seed: int, epoch: int, drop_last: 
         if len(b) < batch_size:
             if drop_last and len(batches) > 0:
                 break
-            b = np.concatenate([b, order[: batch_size - len(b)]])
+            # np.resize tiles as many times as needed — correct even when the
+            # dataset is smaller than one batch
+            b = np.resize(np.concatenate([b, order]), batch_size)
         batches.append(b)
     return batches

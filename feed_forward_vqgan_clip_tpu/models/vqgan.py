@@ -117,12 +117,12 @@ class Decoder(nn.Module):
     def __call__(self, z, deterministic=True):
         num_levels = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
-        # Resolution the latent grid decodes at: the latent spatial size itself.
-        # (taming computes curr_res = resolution // 2^(levels-1); with the standard
-        # f16 config that equals the training-time latent size 16. Using the actual
-        # grid size generalizes to vq_image_size=32 -> 512px outputs, matching the
-        # reference's "bigger grid -> bigger image" semantics, configs/example.yaml:25.)
-        curr_res = z.shape[1]
+        # Attention placement is CONFIG-derived, exactly like taming: curr_res =
+        # resolution // 2^(levels-1), independent of the actual latent grid size.
+        # This is what makes vq_image_size=32 -> 512px work with the same released
+        # weights — the trained attention blocks still run (on 32x32 features),
+        # they are not skipped. Gating on z.shape would silently drop them.
+        curr_res = self.resolution // (2 ** (num_levels - 1))
 
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = ResnetBlock(block_in, self.dropout, self.dtype, name="mid_block_1")(

@@ -59,6 +59,21 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def ensure_on_mesh(mesh: Mesh, tree):
+    """Place any leaf whose sharding is not already a NamedSharding on `mesh`
+    (e.g. optimizer step counters, fresh scalars) as replicated; leaves that are
+    already mesh-placed (params, zeros_like-derived moments) are untouched."""
+    rep = replicated(mesh)
+
+    def fix(leaf):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return leaf
+        return jax.device_put(leaf, rep)
+
+    return jax.tree.map(fix, tree)
+
+
 def mixer_param_sharding(mesh: Mesh, params):
     """Tensor-parallel sharding rule for Mixer channel-mix FFNs over 'model':
     fc1 kernel sharded on its output dim, fc2 on its input dim — the contraction

@@ -24,19 +24,26 @@ from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
-try:
-    import regex as _re
-except ImportError:  # pragma: no cover
-    import re as _re  # type: ignore[no-redef]
-
 CONTEXT_LENGTH = 77
 SOT_TOKEN = "<|startoftext|>"
 EOT_TOKEN = "<|endoftext|>"
 
-_WORD_PAT = _re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-    _re.IGNORECASE,
-)
+try:
+    import regex as _re
+
+    _WORD_PAT = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _re.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - stdlib fallback (no \p classes in re)
+    import re as _re  # type: ignore[no-redef]
+
+    # functional equivalent with stdlib character classes: letters ~ [^\W\d_],
+    # digits ~ \d, other ~ non-space non-word (plus _ and lone digits grouped out)
+    _WORD_PAT = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+|_+""",
+        _re.IGNORECASE | _re.UNICODE,
+    )
 
 
 @functools.lru_cache()
@@ -184,9 +191,16 @@ class ClipTokenizer:
         return tokens
 
     def decode(self, token_ids: Iterable[int]) -> str:
-        text = "".join(
-            self.decoder.get(int(t), "") for t in token_ids if int(t) not in (0, self.sot, self.eot)
-        )
+        # stop at the first eot: padding zeros after it are positional, and vocab
+        # id 0 is a real token ('!'), so it must NOT be value-filtered
+        ids: List[int] = []
+        for t in token_ids:
+            t = int(t)
+            if t == self.eot:
+                break
+            if t != self.sot:
+                ids.append(t)
+        text = "".join(self.decoder.get(t, "") for t in ids)
         raw = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 

@@ -124,7 +124,9 @@ def build_frozen(cfg: TrainConfig, dtype) -> FrozenModels:
             )
     eval_p = None
     if cfg.get("eval_path") and cfg.get("eval_clip_model"):
-        eval_p = load_perceptor(cfg.get("eval_clip_model"), dtype=dtype)
+        eval_p = load_perceptor(
+            cfg.get("eval_clip_model"), cfg.get("eval_clip_model_path"), dtype=dtype
+        )
     return FrozenModels(perceptor, vq, vq_params, vgg_module, vgg_params, eval_p)
 
 
@@ -227,7 +229,12 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, fz, batch, key
         )
-        return state.apply_gradients(grads), metrics
+        state = state.apply_gradients(grads)
+        # per-step loss EMA on device (main.py:861) — no host sync needed
+        state = state.replace(
+            avg_loss=metrics["loss"] * 0.01 + state.avg_loss * 0.99
+        )
+        return state, metrics
 
     return train_step, loss_fn
 
@@ -333,20 +340,30 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         max_steps=cfg.get("max_steps"),
         clip_grad_norm=cfg.get("clip_grad_norm"),
     )
-    state = make_train_state(
-        params, tx,
-        use_ema=bool(cfg.get("use_ema")), ema_decay=float(cfg.get("ema_decay")),
-        step=step, ema_params=ema_params,
-    )
-    opt_path = os.path.join(folder, "opt", "state.msgpack")
-    if os.path.exists(opt_path):
-        log.info("Resuming optimizer state from %s", opt_path)
-        state = state.replace(opt_state=ckpt_io.load_pytree(opt_path, like=state.opt_state))
 
-    # ---- placement
-    param_shard = meshlib.replicated(mesh)
+    # ---- placement: params FIRST (TP rule over 'model' for mixer FFNs, else
+    # replicated), so optimizer/EMA state initialized from them inherits the
+    # same shardings leaf by leaf.
     with mesh:
-        state = jax.tree.map(lambda a: jax.device_put(a, param_shard), state)
+        param_shards = meshlib.mixer_param_sharding(mesh, params)
+        params = jax.tree.map(jax.device_put, params, param_shards)
+        if ema_params is not None:
+            ema_params = jax.tree.map(jax.device_put, ema_params, param_shards)
+        state = make_train_state(
+            params, tx,
+            use_ema=bool(cfg.get("use_ema")), ema_decay=float(cfg.get("ema_decay")),
+            step=step, ema_params=ema_params,
+        )
+        # optimizer counters / fresh scalars are not params-derived -> replicate
+        state = meshlib.ensure_on_mesh(mesh, state)
+        opt_path = os.path.join(folder, "opt", "state.msgpack")
+        if os.path.exists(opt_path):
+            log.info("Resuming optimizer state from %s", opt_path)
+            loaded = ckpt_io.load_pytree(opt_path, like=state.opt_state)
+            placed = jax.tree.map(
+                lambda tmpl, v: jax.device_put(v, tmpl.sharding), state.opt_state, loaded
+            )
+            state = state.replace(opt_state=placed)
         fz: Dict[str, Any] = {"clip": frozen.perceptor.params, "vq": frozen.vq_params}
         if frozen.vgg_params is not None:
             fz["vgg"] = frozen.vgg_params
@@ -397,36 +414,46 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
             log.warning("wandb unavailable: %s", e)
             use_wandb = False
 
-    bs = int(cfg.get("batch_size"))
+    bs = int(cfg.get("batch_size"))  # GLOBAL batch across all processes
     repeat = int(cfg.get("repeat"))
     log_interval = int(cfg.get("log_interval"))
     max_steps = cfg.get("max_steps")
     epochs = int(cfg.get("epochs"))
     local_idx = shard_for_process(len(inp_all), jax.process_index(), jax.process_count())
-    avg_loss = 1.0
-    host_rng = np.random.default_rng(seed + jax.process_index())
+    # noise rows must be IDENTICAL on every process (replicated placement; the
+    # reference broadcasts the bank + rank-0-identical np.random draws) -> seed
+    # the host rng the same way everywhere
+    host_rng = np.random.default_rng(seed)
 
     n_data = mesh.shape["data"]
-    if bs % n_data != 0:
+    n_proc = jax.process_count()
+    if bs % n_data != 0 or bs % n_proc != 0:
         raise ValueError(
-            f"batch_size={bs} must be divisible by the data mesh axis ({n_data} "
-            f"devices) — static shard shapes are a TPU requirement"
+            f"batch_size={bs} (global) must be divisible by the data mesh axis "
+            f"({n_data}) and the process count ({n_proc}) — static shard shapes "
+            f"are a TPU requirement"
         )
+    bs_local = bs // n_proc
+    data_sharding = meshlib.data_sharding(mesh)
+
+    def _global_batch(local_rows: np.ndarray):
+        """Assemble the globally-sharded batch from this process's rows."""
+        if n_proc == 1:
+            return jax.device_put(local_rows, data_sharding)
+        return jax.make_array_from_process_local_data(data_sharding, local_rows)
 
     def batch_for(ids):
         b = {
-            "inp": jax.device_put(inp_all[ids], meshlib.data_sharding(mesh)),
-            "out": jax.device_put(out_all[ids], meshlib.data_sharding(mesh)),
+            "inp": _global_batch(inp_all[ids]),
+            "out": _global_batch(out_all[ids]),
         }
         if noise_dim and nb_noise is not None and noise_bank is not None:
             rows = host_rng.permutation(len(noise_bank))[:repeat]
-            # the shared noise rows are identical on every shard (the reference
-            # broadcasts the bank, main.py:686) -> replicated placement
             b["noise"] = jax.device_put(noise_bank[rows], meshlib.replicated(mesh))
         return b
 
     first_ids = local_idx[
-        epoch_batches(len(local_idx), bs, seed=seed, epoch=epoch0, drop_last=False)[0]
+        epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch0, drop_last=False)[0]
     ]
     decode_tokens = _make_token_decoder() if inp_is_tokens else None
 
@@ -438,7 +465,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     t_start = time.time()
     with mesh:
         for epoch in range(epoch0, epochs):
-            for ids in epoch_batches(len(local_idx), bs, seed=seed, epoch=epoch, drop_last=False):
+            for ids in epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch, drop_last=False):
                 if profile_window and step == profile_window[0] and primary:
                     jax.profiler.start_trace(profile_dir)
                 batch = batch_for(local_idx[ids])
@@ -451,7 +478,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
 
                 if primary and (step % log_interval == 0):
                     m = {k: float(v) for k, v in metrics.items()}
-                    avg_loss = m["loss"] * 0.01 + avg_loss * 0.99
+                    avg_loss = float(state.avg_loss)  # device-side EMA, per-step
                     if writer:
                         for k, v in m.items():
                             writer.add_scalar(k, v, step)
@@ -591,10 +618,12 @@ def _features_for(frozen, fz, inp, inp_is_tokens, cfg):
 def _run_eval(eval_step, params, fz, eval_fz, eval_data, frozen, bs, noise_dim, mesh):
     data = np.asarray(eval_data if not isinstance(eval_data, tuple) else eval_data[0])
     dists_all, scores_all = [], []
-    for i in range(0, len(data) - len(data) % bs or len(data), bs):
+    for i in range(0, len(data), bs):
         chunk = data[i : i + bs]
-        if len(chunk) < bs:
-            break
+        valid = len(chunk)
+        if valid < bs:
+            # pad by wraparound to keep the compiled shape; slice valid rows after
+            chunk = np.resize(np.concatenate([chunk, data]), (bs,) + data.shape[1:])
         if np.issubdtype(chunk.dtype, np.integer):
             p = frozen.eval_perceptor or frozen.perceptor
             feats = p.module.apply(eval_fz, jnp.asarray(chunk), method=p.module.encode_text)
@@ -605,8 +634,6 @@ def _run_eval(eval_step, params, fz, eval_fz, eval_data, frozen, bs, noise_dim, 
                 [feats, jnp.zeros((len(feats), noise_dim), feats.dtype)], axis=1
             )
         d, s = eval_step(params, fz, eval_fz, feats)
-        dists_all.append(np.asarray(d))
-        scores_all.append(np.asarray(s))
-    if not dists_all:
-        return 0.0, 0.0
+        dists_all.append(np.asarray(d)[:valid])
+        scores_all.append(np.asarray(s)[:valid])
     return float(np.concatenate(dists_all).mean()), float(np.concatenate(scores_all).mean())

@@ -20,7 +20,10 @@ class TrainState:
     opt_state: Any
     ema_params: Any  # None when EMA disabled
     step: jnp.ndarray  # scalar int32
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # device-side EMA of the loss (reference's avg_loss, main.py:861) — carried in
+    # the state so it updates EVERY step without forcing a host sync
+    avg_loss: Any = None
+    tx: optax.GradientTransformation = struct.field(pytree_node=False, default=None)
     ema_decay: float = struct.field(pytree_node=False, default=0.995)
 
     def apply_gradients(self, grads):
@@ -76,13 +79,17 @@ def make_train_state(
     ema_params=None,
 ) -> TrainState:
     if use_ema and ema_params is None:
-        # materialize a distinct copy — aliased buffers break step donation
-        ema_params = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+        # materialize a distinct copy that PRESERVES each leaf's sharding
+        # (aliased buffers break step donation; jnp.array would reset placement)
+        ema_params = jax.tree.map(lambda p: p + jnp.zeros((), p.dtype), params)
     return TrainState(
         params=params,
+        # optax zeros_like follows each param's sharding, so initializing AFTER
+        # placement gives the optimizer state matching TP/replicated layouts
         opt_state=tx.init(params),
         ema_params=ema_params if use_ema else None,
         step=jnp.asarray(step, jnp.int32),
+        avg_loss=jnp.float32(1.0),
         tx=tx,
         ema_decay=float(ema_decay),
     )

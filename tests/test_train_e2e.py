@@ -112,6 +112,23 @@ class TestTrainE2E:
         )
         state = train(cfg)
         assert int(state.step) == 3
+        # TP must actually shard the mixer FFN kernels over 'model'
+        from jax.sharding import PartitionSpec as P
+
+        k1 = state.params["params"]["block_0"]["channel_fc1"]["kernel"]
+        k2 = state.params["params"]["block_0"]["channel_fc2"]["kernel"]
+        assert tuple(k1.sharding.spec) == (None, "model"), k1.sharding
+        # trailing Nones are normalized away by jit round-trips
+        assert tuple(k2.sharding.spec)[:1] == ("model",), k2.sharding
+        # and the optimizer moments inherit the same layout
+        mu = jax.tree.leaves(
+            jax.tree.map(lambda x: x, state.opt_state), is_leaf=lambda x: hasattr(x, "sharding")
+        )
+        assert any(
+            getattr(m, "sharding", None) is not None
+            and getattr(m.sharding, "spec", None) == P(None, "model")
+            for m in mu
+        )
 
     def test_loss_decreases_over_training(self, tmp_path, feature_data):
         # With random frozen CLIP/VQGAN the spherical-distance landscape is pure

@@ -64,8 +64,8 @@ def _norm(sd, prefix):
 
 
 def _groupnorm32(sd, prefix):
-    """Our GroupNorm32 wrapper nests flax's GroupNorm one level down."""
-    return {"GroupNorm_0": _norm(sd, prefix)}
+    """GroupNorm32 holds {scale, bias} directly."""
+    return _norm(sd, prefix)
 
 
 def _resnet_block(sd, prefix):

@@ -32,7 +32,14 @@ def swish(x):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32 groups, eps=1e-6) with float32 statistics (taming's norm)."""
+    """GroupNorm(32 groups, eps=1e-6) with float32 statistics (taming's norm).
+
+    Memory-lean formulation: statistics are reduced in f32 but the big activation
+    tensor stays in the compute dtype — the normalization folds into one
+    per-channel multiply-add (out = x*A + B with A/B tiny f32->dtype tensors), so
+    no full-size f32 intermediate is ever materialized (matters at 256^2x128 in
+    the decoder's top level).
+    """
 
     dtype: Any = jnp.float32
 
@@ -40,11 +47,23 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         # taming always uses 32 groups (channels are multiples of 32 in every released
         # config); fall back to per-channel groups for tiny test configs.
-        groups = 32 if x.shape[-1] % 32 == 0 else x.shape[-1]
-        h = nn.GroupNorm(
-            num_groups=groups, epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32
-        )(x.astype(jnp.float32))
-        return h.astype(self.dtype)
+        c = x.shape[-1]
+        groups = 32 if c % 32 == 0 else c
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        b = x.shape[0]
+        xg = x.reshape(b, -1, groups, c // groups)
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)  # (b,1,g,1) f32
+        var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + 1e-6)  # (b,1,g,1)
+
+        sc = scale.reshape(groups, c // groups)[None, None]
+        bi = bias.reshape(groups, c // groups)[None, None]
+        A = (inv * sc).astype(self.dtype)  # (b,1,g,c/g)
+        B = (bi - mean * inv * sc).astype(self.dtype)
+        return (xg * A + B).reshape(x.shape)
 
 
 class ResnetBlock(nn.Module):

@@ -111,3 +111,35 @@ class TestPredictor:
 
         w, h = Image.open(out).size
         assert w > 8 and h > 8  # 2x2 grid of 8px tiles + padding
+
+
+class TestInferCLI:
+    def test_test_command_prompts_and_grid(self, tmp_path, monkeypatch):
+        """The reference `test` surface (main.py:977-1061): '|'-separated prompts
+        and .txt files -> grid PNG, through the real CLI function."""
+        from feed_forward_vqgan_clip_tpu.tokenizer.bpe import ClipTokenizer
+        import feed_forward_vqgan_clip_tpu.tokenizer.bpe as bpe
+
+        ckpt = TestPredictor()._train_tiny(tmp_path, "m_cli")
+        tiny_tok = ClipTokenizer(merges=["a b"])
+        monkeypatch.setattr(bpe, "get_tokenizer", lambda *a, **k: tiny_tok)
+
+        from feed_forward_vqgan_clip_tpu.infer import test as infer_test
+
+        out = infer_test(
+            ckpt, "a cat|a dog", nb_repeats=2,
+            out_path=str(tmp_path / "gen.png"), seed=7,
+        )
+        assert (tmp_path / "gen.png").exists()
+
+        prompts = tmp_path / "prompts.txt"
+        prompts.write_text("a\nb\nab\n")
+        infer_test(
+            ckpt, str(prompts), out_path=str(tmp_path / "gen2.png"),
+            images_per_row=3, seed=7,
+        )
+        from PIL import Image
+
+        w1, _ = Image.open(tmp_path / "gen.png").size
+        w2, _ = Image.open(tmp_path / "gen2.png").size
+        assert w2 > w1  # 3 columns vs 2

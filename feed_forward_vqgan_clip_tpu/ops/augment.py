@@ -167,6 +167,52 @@ def _apply_p(key, p, x_aug, x):
 # ---------------------------------------------------------------- augmentations
 
 
+def fused_affine_perspective(key, x, degrees=15.0, translate=0.1, p_af=0.7,
+                             distortion_scale=0.7, p_pe=0.7):
+    """RandomAffine followed by RandomPerspective COMPOSED into one projective
+    warp (one resample instead of two).
+
+    The sequential reference pipeline resamples twice — on TPU each bilinear
+    warp's backward is a scatter (~400 ms/step at train shapes), so fusing the
+    two geometric augs halves the dominant training cost. Composition differs
+    from two sequential resamples only in interpolation (single-resample is
+    sharper) and in padding semantics (border, from the affine stage, applies to
+    the whole composed warp); per-sample application probabilities are preserved
+    exactly. Opt-in via the `fuse_geometric` knob in MakeCutouts.
+    """
+    b, h, w, _ = x.shape
+    k1, k2, k3, kpa, k4, kpp = jax.random.split(key, 6)
+
+    # affine inverse map (identity where not applied)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
+    tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
+    af = _affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)  # (b,2,3)
+    af3 = jnp.concatenate(
+        [af, jnp.broadcast_to(jnp.asarray([[0.0, 0.0, 1.0]]), (b, 1, 3))], axis=1
+    )
+    eye = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+    applied_af = jax.random.bernoulli(kpa, p_af, (b,))[:, None, None]
+    af3 = jnp.where(applied_af, af3, eye)
+
+    # perspective inverse map (identity where not applied)
+    base = jnp.asarray(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]]
+    )
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    half = jnp.asarray([w, h], jnp.float32) * (distortion_scale / 2.0)
+    disp = jax.random.uniform(k4, (b, 4, 2)) * half * signs
+    dst = base[None] + disp
+    h_inv = solve_homography(dst, jnp.broadcast_to(base, (b, 4, 2)))
+    applied_pe = jax.random.bernoulli(kpp, p_pe, (b,))[:, None, None]
+    h_inv = jnp.where(applied_pe, h_inv, eye)
+
+    # out(q) = img(Af_inv . Pe_inv . q): Pe is applied LAST in the reference
+    # chain, so its inverse acts first on the output coordinate
+    m = jnp.einsum("bij,bjk->bik", af3, h_inv)
+    return warp_perspective_inverse(x, m, padding_mode="border")
+
+
 def random_affine(key, x, degrees=15.0, translate=0.1, p=0.7):
     """kornia RandomAffine(degrees, translate, padding_mode='border') (main.py:182)."""
     b, h, w, _ = x.shape

@@ -31,6 +31,7 @@ class MakeCutouts:
         interpolate: bool = False,
         interp_size: Optional[int] = None,
         noise_fac: float = 0.1,
+        fuse_geometric: bool = False,
     ):
         self.cut_size = cut_size
         self.cutn = cutn
@@ -39,9 +40,30 @@ class MakeCutouts:
         self.interpolate = interpolate
         self.interp_size = interp_size if interp_size is not None else self.pool_size
         self.noise_fac = noise_fac
-        self.augs = build_augment_pipeline(
-            tuple(augs) if augs else ("Af", "Pe", "Ji", "Er"), cut_size
-        )
+        # NOTE: an empty/None augs list means the DEFAULT set, like the reference
+        # (main.py:164-165) — pass e.g. ["Cc"] to effectively disable augs.
+        codes = list(augs) if augs else ["Af", "Pe", "Ji", "Er"]
+        if fuse_geometric:
+            # compose consecutive Af,Pe pairs into one projective resample
+            # (ops/augment.fused_affine_perspective): ~2x on the aug-dominated
+            # training step, opt-in because interpolation/padding differ slightly
+            from feed_forward_vqgan_clip_tpu.ops.augment import (
+                fused_affine_perspective,
+            )
+
+            fused_codes = []
+            i = 0
+            while i < len(codes):
+                if i + 1 < len(codes) and codes[i] == "Af" and codes[i + 1] == "Pe":
+                    fused_codes.append(fused_affine_perspective)
+                    i += 2
+                else:
+                    fused_codes.append(codes[i])
+                    i += 1
+            codes = fused_codes
+        str_codes = [c for c in codes if not callable(c)]
+        built = iter(build_augment_pipeline(str_codes, cut_size))
+        self.augs = [c if callable(c) else next(built) for c in codes]
 
     def __call__(self, key, x):
         """x: (B, H, W, 3) in [0,1] -> (cutn*B, h', w', 3)."""

@@ -3,13 +3,17 @@
 The reference's cutout module leans on torch's AdaptiveAvgPool2d / AdaptiveMaxPool2d
 (/root/reference/main.py:209-210, 218, 228). TPU formulation: the average pool is a
 pair of precomputed sparse pooling matrices applied as einsums (MXU-friendly, static
-shapes); the max pool gathers fixed-width index windows with -inf masking.
+shapes); the max pool is shifted running-maxes + one-hot selection einsums, so
+its backward is a matmul too (the gather formulation's scatter-add transpose
+measured ~1 s/step at training shapes on TPU).
 
 Window math matches torch exactly: output cell i covers
 [floor(i*in/out), ceil((i+1)*in/out)).
 """
 
 import functools
+
+import jax
 
 import jax.numpy as jnp
 import numpy as np
@@ -26,18 +30,30 @@ def _avg_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _max_windows(in_size: int, out_size: int):
+def _max_select(in_size: int, out_size: int):
+    """Per-window-length one-hot selection matrices.
+
+    Windows have lengths 1..L (L = ceil(in/out)+extra). S_k[i, s_i] = 1 for
+    outputs whose window length is k. The pool becomes out = sum_k S_k @ z_k
+    where z_k[p] = max(x[p..p+k)) from cheap shifted maxes — all matmuls, so the
+    BACKWARD is a matmul too. The naive gather formulation's transpose is a TPU
+    scatter-add that measured ~1s per step at training shapes.
+    """
     starts = [(i * in_size) // out_size for i in range(out_size)]
     ends = [-((-(i + 1) * in_size) // out_size) for i in range(out_size)]
-    L = max(e - s for s, e in zip(starts, ends))
-    idx = np.zeros((out_size, L), np.int32)
-    mask = np.zeros((out_size, L), bool)
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        n = e - s
-        idx[i, :n] = np.arange(s, e)
-        idx[i, n:] = s  # clamped duplicates, masked out
-        mask[i, :n] = True
-    return idx, mask
+    lengths = [e - s for s, e in zip(starts, ends)]
+    L = max(lengths)
+    mats = {}
+    for k in range(1, L + 1):
+        S = np.zeros((out_size, in_size), np.float32)
+        any_row = False
+        for i, (s, ln) in enumerate(zip(starts, lengths)):
+            if ln == k:
+                S[i, s] = 1.0
+                any_row = True
+        if any_row:
+            mats[k] = S
+    return mats
 
 
 def adaptive_avg_pool(x, out_h: int, out_w: int = None):
@@ -50,18 +66,39 @@ def adaptive_avg_pool(x, out_h: int, out_w: int = None):
     return jnp.einsum("ow,bhwc->bhoc", ww, x)
 
 
+def _running_max(x, axis, max_len):
+    """z_k[p] = max(x[p..p+k)) along `axis` for k = 1..max_len (list of arrays)."""
+    outs = [x]
+    cur = x
+    n = x.shape[axis]
+    for k in range(2, max_len + 1):
+        shifted = jax.lax.slice_in_dim(x, k - 1, n, axis=axis)
+        head = jax.lax.slice_in_dim(cur, 0, n - k + 1, axis=axis)
+        merged = jnp.maximum(head, shifted)
+        # pad the tail (never selected: windows of length k start <= n-k)
+        pad = jax.lax.slice_in_dim(cur, n - k + 1, n, axis=axis)
+        cur = jnp.concatenate([merged, pad], axis=axis)
+        outs.append(cur)
+    return outs
+
+
+def _max_pool_axis(x, out_size: int, axis: int):
+    in_size = x.shape[axis]
+    mats = _max_select(in_size, out_size)
+    zs = _running_max(x, axis, max(mats))
+    spec = "oi,bihc->bohc" if axis == 1 else "oi,bhic->bhoc"
+    out = None
+    for k, S in mats.items():
+        term = jnp.einsum(spec, jnp.asarray(S, x.dtype), zs[k - 1])
+        out = term if out is None else out + term
+    return out
+
+
 def adaptive_max_pool(x, out_h: int, out_w: int = None):
-    """x: (B, H, W, C) -> (B, out_h, out_w, C), torch AdaptiveMaxPool2d parity."""
+    """x: (B, H, W, C) -> (B, out_h, out_w, C), torch AdaptiveMaxPool2d parity.
+
+    Shifted running maxes + one-hot selection einsums (see _max_select): both the
+    forward and backward are MXU matmuls instead of gather/scatter."""
     out_w = out_h if out_w is None else out_w
-    _, h, w, _ = x.shape
-    idx_h, mask_h = _max_windows(h, out_h)
-    idx_w, mask_w = _max_windows(w, out_w)
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-
-    xh = x[:, jnp.asarray(idx_h), :, :]  # (B, out_h, L, W, C)
-    xh = jnp.where(jnp.asarray(mask_h)[None, :, :, None, None], xh, neg)
-    xh = xh.max(axis=2)  # (B, out_h, W, C)
-
-    xw = xh[:, :, jnp.asarray(idx_w), :]  # (B, out_h, out_w, L, C)
-    xw = jnp.where(jnp.asarray(mask_w)[None, None, :, :, None], xw, neg)
-    return xw.max(axis=3)
+    x = _max_pool_axis(x, out_h, 1)
+    return _max_pool_axis(x, out_w, 2)

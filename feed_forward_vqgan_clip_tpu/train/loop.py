@@ -378,6 +378,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         interpolate=bool(cfg.get("interpolate")),
         interp_size=int(cfg.get("interp_size") or clip_size),
         noise_fac=float(cfg.get("noise_fac")),
+        fuse_geometric=bool(cfg.get("fuse_geometric")),
     )
     train_step, _ = make_train_step(
         cfg, mapper, frozen, make_cutouts,

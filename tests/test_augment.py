@@ -178,3 +178,35 @@ class TestMakeCutouts:
         x = jnp.asarray(rng.uniform(size=(2, 12, 12, 3)), jnp.float32)
         y = jax.jit(mc.__call__)(jax.random.PRNGKey(0), x)
         assert y.shape == (4, 8, 8, 3)
+
+
+class TestFusedGeometric:
+    def test_fused_replaces_af_pe(self, rng):
+        mc = MakeCutouts(cut_size=8, cutn=2, pool_size=8, fuse_geometric=True)
+        # default augs Af,Pe,Ji,Er -> fused,Ji,Er = 3 entries
+        assert len(mc.augs) == 3
+        x = jnp.asarray(rng.uniform(size=(2, 12, 12, 3)), jnp.float32)
+        y = mc(jax.random.PRNGKey(0), x)
+        assert y.shape == (4, 8, 8, 3)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_fused_identity_when_neither_applies(self, rng):
+        x = jnp.asarray(rng.uniform(size=(3, 10, 10, 3)), jnp.float32)
+        y = A.fused_affine_perspective(jax.random.PRNGKey(0), x, p_af=0.0, p_pe=0.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+    def test_fused_matches_affine_when_pe_off(self, rng):
+        # with Pe disabled the fused op is exactly one affine warp family:
+        # deterministic under the same key and differs from identity
+        x = jnp.asarray(rng.uniform(size=(2, 12, 12, 3)), jnp.float32)
+        y1 = A.fused_affine_perspective(jax.random.PRNGKey(1), x, p_af=1.0, p_pe=0.0)
+        y2 = A.fused_affine_perspective(jax.random.PRNGKey(1), x, p_af=1.0, p_pe=0.0)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+        assert not np.allclose(np.asarray(y1), np.asarray(x))
+
+    def test_fused_is_differentiable(self, rng):
+        x = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)), jnp.float32)
+        g = jax.grad(
+            lambda im: jnp.sum(A.fused_affine_perspective(jax.random.PRNGKey(2), im))
+        )(x)
+        assert bool(jnp.isfinite(g).all())

@@ -35,12 +35,22 @@ from feed_forward_vqgan_clip_tpu.train.loop import load_vqgan, _dtype_of
 log = logging.getLogger(__name__)
 
 
+def default_model_paths() -> list:
+    """The released-zoo filenames present locally (the reference's MODELS list,
+    predict.py:13-24, resolved against files fetched by download-weights)."""
+    from feed_forward_vqgan_clip_tpu.registry import MODEL_URLS
+
+    return [p for p in MODEL_URLS if not p.startswith("prior_") and os.path.exists(p)]
+
+
 class Predictor:
-    def __init__(self, model_paths: Sequence[str], prior_paths: Optional[Dict[str, str]] = None):
-        """model_paths: mapper checkpoints (native dirs or reference .th files).
+    def __init__(self, model_paths: Optional[Sequence[str]] = None,
+                 prior_paths: Optional[Dict[str, str]] = None):
+        """model_paths: mapper checkpoints (native dirs or reference .th files);
+        defaults to every released-zoo file present locally (predict.py:13-24).
         prior_paths: optional {model_basename: prior_path}; defaults to the
         registry PRIOR_MODELS map resolved against local files (predict.py:70-76)."""
-        self.model_paths = list(model_paths)
+        self.model_paths = list(model_paths) if model_paths else default_model_paths()
         self.prior_paths = prior_paths
         self.models: Dict[str, tuple] = {}
         self.perceptors: Dict[Tuple[str, Optional[str]], object] = {}

@@ -117,6 +117,18 @@ def train_prior(cfg):
 
     local_idx = shard_for_process(len(x), jax.process_index(), jax.process_count())
     ds = meshlib.data_sharding(mesh)
+    n_proc = jax.process_count()
+    if bs % max(mesh.shape["data"], n_proc) != 0:
+        raise ValueError(
+            f"batch_size={bs} must divide the data axis ({mesh.shape['data']}) and "
+            f"process count ({n_proc})"
+        )
+    bs_local = bs // n_proc
+
+    def _global(rows):
+        if n_proc == 1:
+            return jax.device_put(rows, ds)
+        return jax.make_array_from_process_local_data(ds, rows)
 
     def save(step):
         path = os.path.join(folder, "checkpoint")
@@ -141,9 +153,9 @@ def train_prior(cfg):
 
     with mesh:
         for epoch in range(epoch0, epochs):
-            for ids in epoch_batches(len(local_idx), bs, seed=seed, epoch=epoch, drop_last=False):
-                xb = jax.device_put(x[local_idx[ids]], ds)
-                yb = jax.device_put(y[local_idx[ids]], ds)
+            for ids in epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch, drop_last=False):
+                xb = _global(x[local_idx[ids]])
+                yb = _global(y[local_idx[ids]])
                 state, metrics = train_step(state, buffers, xb, yb)
                 if primary and step % 100 == 0 and writer:
                     for k, v in metrics.items():

@@ -3,10 +3,11 @@
 Parity with the reference's `encode_text_and_images` (folder of img/txt pairs,
 /root/reference/main.py:231-278) and `encode_text_and_images_webdataset`
 (tar shards with per-process sharding and rank-0 merge, main.py:281-392). The
-image preprocessing is CLIP's: bicubic resize of the short side to the model's
-input size, center crop, CLIP-normalize — the reference always uses the
-ViT-B/32 (224px) preprocess regardless of the encoding model (main.py:255, 314),
-and that quirk is preserved.
+image preprocessing is CLIP's: bicubic resize of the short side to the encoder's
+input size, center crop, CLIP-normalize. Deviation (documented): the reference
+always uses the ViT-B/32 (224px) preprocess regardless of the encoding model
+(main.py:255, 314), which would crash 288px perceptors; here the perceptor's own
+input size is used.
 
 The pyiqa quality filter is gated: absent in this environment, a threshold
 request logs a warning and is skipped (the reference silently ignores a failed
@@ -69,6 +70,7 @@ def encode_text_and_images(
     batch_size: int = 64,
 ):
     perceptor = load_perceptor(clip_model, clip_path)
+    size = perceptor.size
     tok = get_tokenizer()
     text_paths = sorted(glob(os.path.join(folder, "*." + text_ext)))
     img_paths = [t[: -len(text_ext)] + img_ext for t in text_paths]
@@ -77,7 +79,7 @@ def encode_text_and_images(
     for i in range(0, len(text_paths), batch_size):
         texts = [open(p).read() for p in text_paths[i : i + batch_size]]
         imgs = np.stack(
-            [preprocess_image(Image.open(p)) for p in img_paths[i : i + batch_size]]
+            [preprocess_image(Image.open(p), size) for p in img_paths[i : i + batch_size]]
         )
         toks = tok.tokenize(texts, truncate=True)
         tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks))))
@@ -105,6 +107,7 @@ def encode_text_and_images_webdataset(
             "the quality filter (the reference also degrades silently, main.py:308-312)"
         )
     perceptor = load_perceptor(clip_model, clip_path)
+    size = perceptor.size
     tok = get_tokenizer()
 
     tars = sorted(glob(pattern))
@@ -130,7 +133,7 @@ def encode_text_and_images_webdataset(
     for img_bytes, txt_bytes in iter_shards(tars, [img_col, txt_col]):
         try:
             img = Image.open(BytesIO(img_bytes))
-            batch_imgs.append(preprocess_image(img))
+            batch_imgs.append(preprocess_image(img, size))
             batch_texts.append(txt_bytes.decode("utf-8", errors="replace"))
         except Exception as e:
             log.warning("skipping sample: %s", e)

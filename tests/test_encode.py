@@ -1,0 +1,93 @@
+"""Dataset-encoder e2e: real PNG files / tar shards -> CLIP feature pairs."""
+
+import io
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from feed_forward_vqgan_clip_tpu.data.encode import (
+    encode_text_and_images,
+    encode_text_and_images_webdataset,
+    preprocess_image,
+)
+
+
+@pytest.fixture(autouse=True)
+def tiny_everything(monkeypatch):
+    """Swap the heavy CLIP + tokenizer for tiny stand-ins."""
+    from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
+    from feed_forward_vqgan_clip_tpu.tokenizer.bpe import ClipTokenizer
+
+    import feed_forward_vqgan_clip_tpu.data.encode as E
+
+    tiny = load_perceptor("tiny")
+    monkeypatch.setattr(E, "load_perceptor", lambda *a, **k: tiny)
+    tok = ClipTokenizer(merges=["a b"])
+    monkeypatch.setattr(E, "get_tokenizer", lambda *a, **k: tok)
+    return tiny
+
+
+def _png_bytes(color, size=(48, 40)):
+    img = Image.new("RGB", size, color)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestPreprocess:
+    def test_resize_crop_normalize(self):
+        img = Image.new("RGB", (100, 60), (255, 0, 0))
+        arr = preprocess_image(img, size=32)
+        assert arr.shape == (32, 32, 3)
+        # red channel normalized: (1 - mean_r) / std_r ~ 1.93
+        assert abs(arr[..., 0].mean() - (1 - 0.48145466) / 0.26862954) < 1e-4
+
+
+class TestFolderEncoder:
+    def test_pairs_to_npz(self, tmp_path):
+        for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+            (tmp_path / f"s{i}.txt").write_text(f"a b {i}")
+            Image.new("RGB", (48, 40), color).save(tmp_path / f"s{i}.jpg", format="JPEG")
+        out = str(tmp_path / "feats.npz")
+        encode_text_and_images(str(tmp_path), out=out, batch_size=2)
+        z = np.load(out)
+        assert z["x"].shape == (3, 32) and z["y"].shape == (3, 32)
+        assert np.isfinite(z["x"]).all() and np.isfinite(z["y"]).all()
+        # different images -> different image features
+        assert not np.allclose(z["y"][0], z["y"][2])
+
+
+class TestWebdatasetEncoder:
+    def test_tars_to_npz_with_corrupt_sample(self, tmp_path):
+        p = str(tmp_path / "shard0.tar")
+        with tarfile.open(p, "w") as tf:
+            samples = [
+                ("000", _png_bytes((255, 0, 0)), b"a b"),
+                ("001", b"not an image at all", b"bad"),  # decode fails -> skipped
+                ("002", _png_bytes((0, 0, 255)), b"b a"),
+            ]
+            for key, img, txt in samples:
+                for col, payload in (("input.jpg", img), ("output.txt", txt)):
+                    info = tarfile.TarInfo(f"{key}.{col}")
+                    info.size = len(payload)
+                    tf.addfile(info, io.BytesIO(payload))
+        out = str(tmp_path / "wds.npz")
+        encode_text_and_images_webdataset(
+            str(tmp_path / "shard*.tar"), out=out, batch_size=2,
+        )
+        z = np.load(out)
+        assert z["x"].shape == (2, 32) and z["y"].shape == (2, 32)
+
+    def test_quality_threshold_warns_and_continues(self, tmp_path, caplog):
+        p = str(tmp_path / "s.tar")
+        with tarfile.open(p, "w") as tf:
+            img, txt = _png_bytes((9, 9, 9)), b"a"
+            for col, payload in (("input.jpg", img), ("output.txt", txt)):
+                info = tarfile.TarInfo(f"k.{col}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        out = str(tmp_path / "q.npz")
+        encode_text_and_images_webdataset(p, out=out, image_quality_threshold=5.0)
+        assert np.load(out)["x"].shape[0] == 1  # filter skipped, data encoded

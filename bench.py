@@ -125,12 +125,12 @@ def train_bench():
     from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
     from feed_forward_vqgan_clip_tpu.models.vqgan import make_vqgan
     from feed_forward_vqgan_clip_tpu.ops.cutouts import MakeCutouts
-    from feed_forward_vqgan_clip_tpu.parallel import mesh as meshlib
     from feed_forward_vqgan_clip_tpu.registry import VQGAN_CONFIGS
     from feed_forward_vqgan_clip_tpu.train import loop as L
     from feed_forward_vqgan_clip_tpu.train.state import make_optimizer, make_train_state
 
     bs = int(os.environ.get("FFVC_BENCH_TRAIN_BATCH", 8))
+    fuse = os.environ.get("FFVC_BENCH_FUSE_AUGS", "") not in ("", "0", "false")
     dtype = jnp.bfloat16
     cfg = make_config(
         clip_model="ViT-B/32", model_type="mlp_mixer", dim=1024, depth=32,
@@ -145,7 +145,7 @@ def train_bench():
     params = jax.jit(mapper.init)(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
     tx = make_optimizer(1e-3)
     state = make_train_state(params, tx)
-    mc = MakeCutouts(cut_size=224, cutn=8, pool_size=224)
+    mc = MakeCutouts(cut_size=224, cutn=8, pool_size=224, fuse_geometric=fuse)
     step_fn, _ = L.make_train_step(
         cfg, mapper, frozen, mc, inp_is_tokens=True, out_is_tokens=True,
     )
@@ -173,7 +173,11 @@ def train_bench():
             }
         )
     )
-    print(f"# train step {dt*1e3:.1f} ms at batch={bs}, cutn=8, 224px cutouts", file=sys.stderr)
+    print(
+        f"# train step {dt*1e3:.1f} ms at batch={bs}, cutn=8, 224px cutouts, "
+        f"fuse_geometric={fuse}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

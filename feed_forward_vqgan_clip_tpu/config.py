@@ -76,6 +76,7 @@ DEFAULTS: Dict[str, Any] = {
     "seed": 0,
     "mesh_shape": None,  # e.g. {"data": 8} or {"data": 4, "model": 2}
     "use_pallas": "auto",
+    "fused_mixer": None,  # Pallas fused mixer blocks for inference: None=auto (TPU only)
     "profile_dir": None,
 }
 

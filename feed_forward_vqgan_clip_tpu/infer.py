@@ -50,11 +50,14 @@ class Generator:
             self.prior = load_prior_model(prior_path)
 
         use_pallas = cfg.get("use_pallas")
+        from feed_forward_vqgan_clip_tpu.models.mappers.fused import make_mapper_apply
+
+        mapper_apply = make_mapper_apply(mapper, fused=cfg.get("fused_mixer"))
 
         @jax.jit
         def _text_to_image(mapper_params, clip_params, vq_params, net_in):
             z_lo, z_hi = latent_bounds(vq_params)
-            z = self.mapper.apply(mapper_params, net_in)
+            z = mapper_apply(mapper_params, net_in)
             z = clamp_with_grad(z, z_lo, z_hi)
             return synth(self.vq, vq_params, z, use_pallas=use_pallas).astype(jnp.float32)
 

@@ -1,0 +1,95 @@
+"""Fused inference dispatch for the MLP-Mixer mapper.
+
+`make_mapper_apply(mapper)` returns `(params, x) -> z`, routing Mixer forwards
+through the weight-resident Pallas block kernel (ops/pallas/mixer_block.py) when
+that is both supported (shape/VMEM gates below) and profitable (TPU backend).
+Everything else — other mapper families, unaligned shapes, CPU — falls back to
+the stock `module.apply`, so this layer can be used unconditionally by the
+inference entry points (infer.Generator, serve.Predictor, __graft_entry__).
+
+The fused path is inference-only (the kernel defines no VJP); training keeps the
+XLA module path. Numerical parity between the two paths is pinned by
+tests/test_fused_mixer.py.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from feed_forward_vqgan_clip_tpu.models.mappers.mixer import Mixer, lean_layer_norm
+from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+    fused_block_vmem_bytes,
+    fused_mixer_block,
+)
+
+log = logging.getLogger(__name__)
+
+# Stay well inside the ~128 MB v5e VMEM (Mosaic reserves some; round-1 kernels
+# started failing around ~95 MB of live state).
+_VMEM_BUDGET_BYTES = 80 * 1024 * 1024
+
+
+def _dense(x, p, dtype):
+    """flax.linen.Dense numerics: operands promoted to module dtype."""
+    return jnp.dot(x.astype(dtype), p["kernel"].astype(dtype)) + p["bias"].astype(dtype)
+
+
+def fused_supported(mapper) -> bool:
+    """Shape/VMEM gate for the Pallas fused-block path."""
+    if not isinstance(mapper, Mixer):
+        return False
+    t = mapper.image_size * mapper.image_size
+    d = mapper.dim
+    et = t * mapper.expansion
+    ec = d * mapper.expansion
+    # Mosaic tiling: every matmul operand's lane (last) dim must be a multiple
+    # of 128 to avoid padded tiles (t2 is (Et, T), so T itself needs 128 | T).
+    if t % 128 or d % 128:
+        return False
+    return fused_block_vmem_bytes(t, d, et, ec, mapper.dtype) <= _VMEM_BUDGET_BYTES
+
+
+def fused_mixer_forward(mapper: Mixer, variables, x, *, interpret=False):
+    """Deterministic Mixer forward with each block as one Pallas kernel.
+
+    Mirrors Mixer.__call__ (mixer.py) including the channel-major reshape quirk
+    (/root/reference/mlp_mixer_pytorch.py:86). variables: {'params': ...} or the
+    bare param dict from Mixer.init.
+    """
+    p = variables.get("params", variables)
+    dt = mapper.dtype
+    b = x.shape[0]
+    s, c = mapper.image_size, mapper.channels
+    h = _dense(x.astype(dt), p["proj"], dt)
+    h = h.reshape(b, c, s, s).transpose(0, 2, 3, 1).reshape(b, s * s, c)
+    h = _dense(h, p["embed"], dt)
+    for i in range(mapper.depth):
+        h = fused_mixer_block(h, p[f"block_{i}"], dtype=dt, interpret=interpret)
+    h = lean_layer_norm(
+        h, p["final_norm"]["scale"], p["final_norm"]["bias"], dt
+    )
+    h = _dense(h, p["final_proj"], dt)
+    return h.reshape(b, s, s, c)
+
+
+def make_mapper_apply(mapper, *, fused=None, interpret=False):
+    """(params, x) -> z dispatcher for deterministic (inference) forwards.
+
+    fused=None: auto — Pallas path iff supported and a TPU backend is present
+    (CPU would need interpret mode, which is far slower than plain XLA).
+    fused=True/False: force (True still requires `fused_supported`).
+    """
+    if fused is None:
+        try:
+            fused = jax.default_backend() not in ("cpu",)
+        except Exception:
+            fused = False
+    if fused and fused_supported(mapper):
+        log.info("Mixer: using Pallas fused-block inference path")
+
+        def apply_fn(params, x):
+            return fused_mixer_forward(mapper, params, x, interpret=interpret)
+
+        return apply_fn
+    return lambda params, x: mapper.apply(params, x)

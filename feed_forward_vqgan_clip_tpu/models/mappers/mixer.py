@@ -20,6 +20,24 @@ import jax
 import jax.numpy as jnp
 
 
+def lean_layer_norm(x, scale, bias, dtype):
+    """LayerNorm(eps=1e-5) with f32 statistics, compute-dtype activations.
+
+    Shared by the flax module below and the Pallas fused-block path
+    (ops/pallas/mixer_block.py) so the two stay numerically identical.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    # clamp f32 cancellation (can dip below -eps on near-constant rows; would
+    # NaN the rsqrt — nn.LayerNorm clamps the same way)
+    var = jnp.maximum(var, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    a = (inv * scale).astype(dtype)  # broadcast (..., 1)*(d,) -> (..., d)
+    b = (bias - mean * inv * scale).astype(dtype)  # folded fully in f32
+    return x.astype(dtype) * a + b
+
+
 class LeanLayerNorm(nn.Module):
     """LayerNorm(eps=1e-5) with f32 statistics but compute-dtype activations.
 
@@ -37,16 +55,7 @@ class LeanLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
-        # clamp f32 cancellation (can dip below -eps on near-constant rows; would
-        # NaN the rsqrt — nn.LayerNorm clamps the same way)
-        var = jnp.maximum(var, 0.0)
-        inv = jax.lax.rsqrt(var + 1e-5)
-        a = (inv * scale).astype(self.dtype)  # broadcast (B, T, 1)*(d,) -> (B,T,d)
-        b = (bias - mean * inv * scale).astype(self.dtype)  # folded fully in f32
-        return x.astype(self.dtype) * a + b
+        return lean_layer_norm(x, scale, bias, self.dtype)
 
 
 class MixerBlock(nn.Module):

@@ -96,9 +96,12 @@ class Predictor:
 
             use_pallas = cfg.get("use_pallas")
             vq, vq_params, (z_lo, z_hi) = self.vqgans[vkey]
+            from feed_forward_vqgan_clip_tpu.models.mappers.fused import make_mapper_apply
 
-            def render(mp, vp, net_in, _mapper=mapper, _vq=vq, _lo=z_lo, _hi=z_hi, _up=use_pallas):
-                z = _mapper.apply(mp, net_in)
+            mapper_apply = make_mapper_apply(mapper, fused=cfg.get("fused_mixer"))
+
+            def render(mp, vp, net_in, _apply=mapper_apply, _vq=vq, _lo=z_lo, _hi=z_hi, _up=use_pallas):
+                z = _apply(mp, net_in)
                 z = clamp_with_grad(z, _lo, _hi)
                 return synth(_vq, vp, z, use_pallas=_up).astype(jnp.float32)
 

@@ -189,8 +189,14 @@ def _cmd_serve(args):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
-    from feed_forward_vqgan_clip_tpu.utils import enable_compilation_cache
+    from feed_forward_vqgan_clip_tpu.utils import (
+        enable_compilation_cache,
+        maybe_initialize_distributed,
+    )
 
+    # multi-host rendezvous must precede any other JAX use (hvd.init parity,
+    # main.py:528-531); no-op single-process
+    maybe_initialize_distributed()
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)

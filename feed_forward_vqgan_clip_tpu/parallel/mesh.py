@@ -59,6 +59,27 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def host_array(x) -> np.ndarray:
+    """Materialize any jax.Array (or numpy) as a full host numpy array on EVERY
+    process. Replicated / single-process arrays are fully addressable and fetch
+    directly; globally-sharded arrays go through a collective allgather, so on a
+    real pod ALL processes must reach this call (it replaces the np.asarray that
+    would throw 'non-addressable' there)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    # for global arrays tiled=True is required and returns the (replicated)
+    # GLOBAL value, not a concatenation
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def host_tree(tree):
+    """host_array over a pytree (collective on sharded leaves — all processes
+    must participate)."""
+    return jax.tree.map(host_array, tree)
+
+
 def ensure_on_mesh(mesh: Mesh, tree):
     """Place any leaf whose sharding is not already a NamedSharding on `mesh`
     (e.g. optimizer step counters, fresh scalars) as replicated; leaves that are

@@ -468,12 +468,45 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     first_ids = local_idx[
         epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch0, drop_last=False)[0]
     ]
+    # pinned first batch for fixed previews (main.py:676-679), assembled ONCE as
+    # a global array so the preview render stays SPMD-consistent on a pod
+    with mesh:
+        fixed_inp_global = _global_batch(inp_all[first_ids])
     decode_tokens = _make_token_decoder() if inp_is_tokens else None
 
     # Profiling (framework extra — the reference has no tracing at all,
     # SURVEY.md §5): capture a jax.profiler trace of steps [10, 15).
     profile_dir = cfg.get("profile_dir")
     profile_window = (10, 15) if profile_dir else None
+
+    # per-step scalar buffer: the reference writes every step's scalars to TB
+    # (main.py:845-850) and wandb every wandb_log_interval (main.py:851-860).
+    # We keep per-step metrics as DEVICE scalars (no host sync in the hot loop)
+    # and flush the whole window with one stacked fetch at log_interval.
+    wandb_log_interval = int(cfg.get("wandb_log_interval") or 1)
+    pending: list = []  # [(step, metrics_dict_of_device_scalars)]
+
+    def _flush_scalars():
+        if not pending:
+            return {}
+        steps_ = [s for s, _ in pending]
+        stacked = {
+            k: np.asarray(jnp.stack([m[k] for _, m in pending]), np.float32)
+            for k in pending[0][1]
+        }
+        if primary and writer:
+            for i, s in enumerate(steps_):
+                for k, vals in stacked.items():
+                    writer.add_scalar(k, float(vals[i]), s)
+        if primary and use_wandb and wandb_run:
+            for i, s in enumerate(steps_):
+                if s % wandb_log_interval == 0 and s != steps_[-1]:
+                    wandb_run.log(
+                        {k: float(vals[i]) for k, vals in stacked.items()}, step=s
+                    )
+        last = {k: float(vals[-1]) for k, vals in stacked.items()}
+        pending.clear()
+        return last
 
     t_start = time.time()
     with mesh:
@@ -484,39 +517,42 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
                 batch = batch_for(local_idx[ids])
                 step_key = jax.random.fold_in(root_key, step)
                 state, metrics = train_step(state, fz, batch, step_key)
+                pending.append((step, metrics))
                 if profile_window and step == profile_window[1] and primary:
                     jax.tree.map(lambda a: a.block_until_ready(), metrics)
                     jax.profiler.stop_trace()
                     log.info("Wrote profiler trace to %s", profile_dir)
 
-                if primary and (step % log_interval == 0):
-                    m = {k: float(v) for k, v in metrics.items()}
+                # log steps run on EVERY process — previews/eval/ckpt contain
+                # collectives (host_array gathers); file/TB/stdout writes are
+                # primary-gated inside.
+                if step % log_interval == 0:
+                    m = _flush_scalars()
                     avg_loss = float(state.avg_loss)  # device-side EMA, per-step
-                    if writer:
-                        for k, v in m.items():
-                            writer.add_scalar(k, v, step)
-                    print(
-                        f"epoch:{epoch:03d}, step:{step:05d}, avg_loss:{avg_loss:.3f}, "
-                        f"loss:{m['loss']:.3f}, dists:{m['dists']:.3f}, "
-                        f"div:{m['diversity']:.3f}, l2:{m['l2']:.3f} tv:{m['tv']}",
-                        flush=True,
-                    )
+                    if primary:
+                        print(
+                            f"epoch:{epoch:03d}, step:{step:05d}, avg_loss:{avg_loss:.3f}, "
+                            f"loss:{m['loss']:.3f}, dists:{m['dists']:.3f}, "
+                            f"div:{m['diversity']:.3f}, l2:{m['l2']:.3f} tv:{m['tv']}",
+                            flush=True,
+                        )
                     _log_step_artifacts(
                         cfg, folder, mapper, frozen, state, fz, batch, render,
                         step, epoch, noise_bank, decode_tokens, writer,
-                        first_ids, inp_all, out_all, noise_dim, clip_dim,
-                        inp_is_tokens, mesh,
+                        fixed_inp_global, noise_dim, clip_dim,
+                        inp_is_tokens, primary,
                     )
                     if eval_data is not None:
                         ed, es = _run_eval(
                             eval_step, state.params, fz, eval_fz, eval_data,
                             frozen, bs, noise_dim, mesh,
                         )
-                        print(f"Eval dists: {ed:.3f}\nEval clip score: {es:.3f}", flush=True)
-                        if writer:
-                            writer.add_scalar("eval_dists", ed, step)
-                            writer.add_scalar("eval_clip_score", es, step)
-                    if use_wandb and wandb_run:
+                        if primary:
+                            print(f"Eval dists: {ed:.3f}\nEval clip score: {es:.3f}", flush=True)
+                            if writer:
+                                writer.add_scalar("eval_dists", ed, step)
+                                writer.add_scalar("eval_clip_score", es, step)
+                    if primary and use_wandb and wandb_run:
                         payload = dict(m, avg_loss=avg_loss)
                         try:  # image panels (main.py:951-966)
                             import wandb as _wandb
@@ -532,20 +568,17 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
                         except Exception:  # pragma: no cover
                             pass
                         wandb_run.log(payload, step=step)
-                else:
-                    # keep the host loop async: only touch metrics on log steps
-                    pass
 
                 step += 1
                 if max_steps is not None and step >= int(max_steps):
-                    if primary:
-                        _save_all(folder, cfg, state, step, epoch, noise_bank)
+                    _flush_scalars()
+                    _save_all(folder, cfg, state, step, epoch, noise_bank, primary)
                     log.info(
                         "Reached max_steps=%s in %.1fs", max_steps, time.time() - t_start
                     )
                     return state
-    if primary:
-        _save_all(folder, cfg, state, step, max(epochs - 1, epoch0), noise_bank)
+    _flush_scalars()
+    _save_all(folder, cfg, state, step, max(epochs - 1, epoch0), noise_bank, primary)
     return state
 
 
@@ -558,22 +591,34 @@ def _make_token_decoder():
         return None
 
 
-def _save_all(folder, cfg, state, step, epoch, noise_bank):
-    ckpt_io.save_checkpoint(folder, "checkpoint", state.params, cfg, step, epoch, noise_bank)
-    if state.ema_params is not None:
-        ckpt_io.save_checkpoint(
-            folder, "checkpoint_ema", state.ema_params, cfg, step, epoch, noise_bank
-        )
+def _save_all(folder, cfg, state, step, epoch, noise_bank, primary=True):
+    """Checkpoint params/EMA/opt. COLLECTIVE on a pod: host_tree allgathers any
+    model-axis-sharded leaves, so every process must reach this call; only the
+    primary writes files."""
+    params = meshlib.host_tree(state.params)
+    ema = meshlib.host_tree(state.ema_params) if state.ema_params is not None else None
+    opt = meshlib.host_tree(state.opt_state)
+    if not primary:
+        return
+    ckpt_io.save_checkpoint(folder, "checkpoint", params, cfg, step, epoch, noise_bank)
+    if ema is not None:
+        ckpt_io.save_checkpoint(folder, "checkpoint_ema", ema, cfg, step, epoch, noise_bank)
     os.makedirs(os.path.join(folder, "opt"), exist_ok=True)
-    ckpt_io.save_pytree(os.path.join(folder, "opt", "state.msgpack"), state.opt_state)
+    ckpt_io.save_pytree(os.path.join(folder, "opt", "state.msgpack"), opt)
 
 
 def _log_step_artifacts(
     cfg, folder, mapper, frozen, state, fz, batch, render, step, epoch,
-    noise_bank, decode_tokens, writer, first_ids, inp_all, out_all,
-    noise_dim, clip_dim, inp_is_tokens, mesh,
+    noise_bank, decode_tokens, writer, fixed_inp_global,
+    noise_dim, clip_dim, inp_is_tokens, primary,
 ):
-    """progress grids + prompt sidecars + checkpoints (main.py:899-949)."""
+    """progress grids + prompt sidecars + checkpoints (main.py:899-949).
+
+    COLLECTIVE on a pod: renders run SPMD over the globally-sharded batch on all
+    processes and outputs come back through host_array allgathers (np.asarray on
+    a globally-sharded array would throw 'non-addressable' on a real pod); file
+    writes are primary-gated.
+    """
     bs = int(cfg.get("batch_size"))
     repeat = int(cfg.get("repeat"))
     # re-render current batch through the no-cutout path
@@ -586,35 +631,40 @@ def _log_step_artifacts(
             else jax.random.normal(jax.random.PRNGKey(step), (net_in.shape[0], noise_dim))
         )
         net_in = jnp.concatenate([net_in, noise.astype(net_in.dtype)], axis=1)
-    xr = np.asarray(render(state.params, fz, net_in))
-    save_grid(xr, os.path.join(folder, "progress.png"), nrow=bs)
-    save_grid(xr, os.path.join(folder, f"progress_{step:010d}.png"), nrow=bs)
+    xr = meshlib.host_array(render(state.params, fz, net_in))
+    if primary:
+        save_grid(xr, os.path.join(folder, "progress.png"), nrow=bs)
+        save_grid(xr, os.path.join(folder, f"progress_{step:010d}.png"), nrow=bs)
 
     if inp_is_tokens and decode_tokens is not None:
-        text = "\n".join(decode_tokens(t) for t in np.asarray(batch["inp"]))
-        for name in ("progress.txt", f"progress_{step:010d}.txt"):
-            with open(os.path.join(folder, name), "w") as fd:
-                fd.write(text)
+        toks = meshlib.host_array(batch["inp"])
+        if primary:
+            text = "\n".join(decode_tokens(t) for t in toks)
+            for name in ("progress.txt", f"progress_{step:010d}.txt"):
+                with open(os.path.join(folder, name), "w") as fd:
+                    fd.write(text)
 
-    _save_all(folder, cfg, state, step, epoch, noise_bank)
+    _save_all(folder, cfg, state, step, epoch, noise_bank, primary)
 
     # fixed-batch preview with EMA params when enabled (main.py:920-949)
-    fixed_inp = jnp.asarray(inp_all[first_ids])
-    net_in = _features_for(frozen, fz, fixed_inp, inp_is_tokens, cfg)
+    net_in = _features_for(frozen, fz, fixed_inp_global, inp_is_tokens, cfg)
     if noise_dim:
         nz = (
-            jnp.asarray(noise_bank[: len(net_in)])
-            if noise_bank is not None and len(noise_bank) >= len(net_in)
-            else jax.random.normal(jax.random.PRNGKey(0), (len(net_in), noise_dim))
+            jnp.asarray(noise_bank[: net_in.shape[0]])
+            if noise_bank is not None and len(noise_bank) >= net_in.shape[0]
+            else jax.random.normal(jax.random.PRNGKey(0), (net_in.shape[0], noise_dim))
         )
         net_in = jnp.concatenate([net_in, nz.astype(net_in.dtype)], axis=1)
     preview_params = state.ema_params if state.ema_params is not None else state.params
-    xf = np.asarray(render(preview_params, fz, net_in))
-    save_grid(xf, os.path.join(folder, "fixed_batch_progress.png"), nrow=bs)
-    save_grid(xf, os.path.join(folder, f"fixed_batch_progress_{step:010d}.png"), nrow=bs)
+    xf = meshlib.host_array(render(preview_params, fz, net_in))
+    if primary:
+        save_grid(xf, os.path.join(folder, "fixed_batch_progress.png"), nrow=bs)
+        save_grid(xf, os.path.join(folder, f"fixed_batch_progress_{step:010d}.png"), nrow=bs)
     if step == 0 and inp_is_tokens and decode_tokens is not None:
-        with open(os.path.join(folder, "fixed_batch.txt"), "w") as fd:
-            fd.write("\n".join(decode_tokens(t) for t in np.asarray(fixed_inp)))
+        fixed_toks = meshlib.host_array(fixed_inp_global)
+        if primary:
+            with open(os.path.join(folder, "fixed_batch.txt"), "w") as fd:
+                fd.write("\n".join(decode_tokens(t) for t in fixed_toks))
 
 
 def _features_for(frozen, fz, inp, inp_is_tokens, cfg):

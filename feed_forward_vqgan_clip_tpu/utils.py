@@ -39,6 +39,10 @@ def maybe_initialize_distributed() -> bool:
 
     import jax
 
+    # TPU_WORKER_HOSTNAMES with a single host (e.g. the axon plugin sets
+    # 'localhost') is NOT a pod — require a multi-host list.
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    multihost_pod = "," in hostnames or env.get("MEGASCALE_COORDINATOR_ADDRESS")
     try:
         if coord and nproc is not None and pid is not None:
             jax.distributed.initialize(
@@ -46,9 +50,7 @@ def maybe_initialize_distributed() -> bool:
                 num_processes=int(nproc),
                 process_id=int(pid),
             )
-        elif coord or env.get("TPU_WORKER_HOSTNAMES") or env.get(
-            "MEGASCALE_COORDINATOR_ADDRESS"
-        ):
+        elif coord or multihost_pod:
             # pod/cluster auto-detection fills in the rest
             jax.distributed.initialize()
         else:
@@ -56,6 +58,10 @@ def maybe_initialize_distributed() -> bool:
     except RuntimeError as e:  # already initialized by the embedder
         if "already initialized" not in str(e).lower():
             raise
+    except ValueError as e:
+        # auto-detection found no usable cluster spec — stay single-process
+        log.warning("jax.distributed auto-init skipped: %s", e)
+        return False
     _distributed_initialized = True
     log.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global devices",

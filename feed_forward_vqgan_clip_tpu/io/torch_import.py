@@ -449,6 +449,14 @@ def convert_vqgan(sd: Dict[str, np.ndarray], config: dict) -> Dict[str, Any]:
     decoder.{norm_out,conv_out}.*  (GumbelVQ aliases quantize.embed ->
     quantize.embedding, reference main.py:94).
     """
+    # Net2NetTransformer checkpoints carry the VQGAN under `first_stage_model.`
+    # (the reference loads the wrapper and takes .first_stage_model, main.py:95-99)
+    if any(k.startswith("first_stage_model.") for k in sd):
+        sd = {
+            k[len("first_stage_model."):]: v
+            for k, v in sd.items()
+            if k.startswith("first_stage_model.")
+        }
     if "quantize.embedding.weight" in sd:
         codebook = sd["quantize.embedding.weight"]
     elif "quantize.embed.weight" in sd:  # GumbelVQ (main.py:94)

@@ -206,3 +206,184 @@ class TestNormNumerics:
         ln = LeanLayerNorm()
         y = ln.apply(ln.init(jax.random.PRNGKey(0), x), x)
         assert bool(jnp.isfinite(y).all())
+
+
+# ---------------------------------------------------------------------------
+# Full-decoder oracle: a complete taming-style torch VQGAN assembled in-test
+# with taming's exact module tree (state-dict key layout `decoder.up.{level}.
+# block.{i}`, per-level attention, `decoder.mid.*`, `post_quant_conv`,
+# `quantize.embedding`), run end to end through `convert_vqgan`'s naming walk —
+# the offline de-risking for the released-checkpoint path
+# (/root/reference/main.py:84-103, 140-143).
+# ---------------------------------------------------------------------------
+
+
+def _torch_swish(x):
+    return x * torch.sigmoid(x)
+
+
+class _TResnetBlock(torch.nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        g = 32 if in_ch % 32 == 0 else in_ch
+        self.norm1 = torch.nn.GroupNorm(g, in_ch, eps=1e-6)
+        self.conv1 = torch.nn.Conv2d(in_ch, out_ch, 3, padding=1)
+        g2 = 32 if out_ch % 32 == 0 else out_ch
+        self.norm2 = torch.nn.GroupNorm(g2, out_ch, eps=1e-6)
+        self.conv2 = torch.nn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.use_nin = in_ch != out_ch
+        if self.use_nin:
+            self.nin_shortcut = torch.nn.Conv2d(in_ch, out_ch, 1)
+
+    def forward(self, x):
+        h = self.conv1(_torch_swish(self.norm1(x)))
+        h = self.conv2(_torch_swish(self.norm2(h)))
+        return (self.nin_shortcut(x) if self.use_nin else x) + h
+
+
+class _TAttnBlock(torch.nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        g = 32 if ch % 32 == 0 else ch
+        self.norm = torch.nn.GroupNorm(g, ch, eps=1e-6)
+        self.q = torch.nn.Conv2d(ch, ch, 1)
+        self.k = torch.nn.Conv2d(ch, ch, 1)
+        self.v = torch.nn.Conv2d(ch, ch, 1)
+        self.proj_out = torch.nn.Conv2d(ch, ch, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        hn = self.norm(x)
+        q = self.q(hn).reshape(b, c, h * w).permute(0, 2, 1)
+        k = self.k(hn).reshape(b, c, h * w)
+        attn = torch.softmax(torch.bmm(q, k) * c ** -0.5, dim=2)
+        v = self.v(hn).reshape(b, c, h * w)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).reshape(b, c, h, w)
+        return x + self.proj_out(out)
+
+
+class _TUpsample(torch.nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(ch, ch, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(torch.nn.functional.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+class _TamingVQ(torch.nn.Module):
+    """Minimal taming VQModel decode path with taming's module/key layout."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        ch, ch_mult = cfg["ch"], cfg["ch_mult"]
+        nrb, attn_res = cfg["num_res_blocks"], cfg["attn_resolutions"]
+        res, zc = cfg["resolution"], cfg["z_channels"]
+        levels = len(ch_mult)
+        self.quantize = torch.nn.Module()
+        self.quantize.embedding = torch.nn.Embedding(cfg["n_embed"], cfg["embed_dim"])
+        self.post_quant_conv = torch.nn.Conv2d(cfg["embed_dim"], zc, 1)
+        dec = torch.nn.Module()
+        block_in = ch * ch_mult[-1]
+        dec.conv_in = torch.nn.Conv2d(zc, block_in, 3, padding=1)
+        dec.mid = torch.nn.Module()
+        dec.mid.block_1 = _TResnetBlock(block_in, block_in)
+        dec.mid.attn_1 = _TAttnBlock(block_in)
+        dec.mid.block_2 = _TResnetBlock(block_in, block_in)
+        curr_res = res // (2 ** (levels - 1))
+        dec.up = torch.nn.ModuleList([torch.nn.Module() for _ in range(levels)])
+        self._attn_levels = set()
+        for i_level in reversed(range(levels)):
+            block_out = ch * ch_mult[i_level]
+            blocks = torch.nn.ModuleList()
+            attns = torch.nn.ModuleList()
+            for _ in range(nrb + 1):
+                blocks.append(_TResnetBlock(block_in, block_out))
+                block_in = block_out
+                if curr_res in attn_res:
+                    attns.append(_TAttnBlock(block_in))
+            dec.up[i_level].block = blocks
+            if len(attns):
+                dec.up[i_level].attn = attns
+                self._attn_levels.add(i_level)
+            if i_level != 0:
+                dec.up[i_level].upsample = _TUpsample(block_in)
+                curr_res *= 2
+        g = 32 if block_in % 32 == 0 else block_in
+        dec.norm_out = torch.nn.GroupNorm(g, block_in, eps=1e-6)
+        dec.conv_out = torch.nn.Conv2d(block_in, cfg.get("out_ch", 3), 3, padding=1)
+        self.decoder = dec
+        self._levels = levels
+        self._nrb = nrb
+
+    def decode(self, z_q):
+        h = self.decoder.conv_in(self.post_quant_conv(z_q))
+        h = self.decoder.mid.block_2(self.decoder.mid.attn_1(self.decoder.mid.block_1(h)))
+        for i_level in reversed(range(self._levels)):
+            for i_block in range(self._nrb + 1):
+                h = self.decoder.up[i_level].block[i_block](h)
+                if i_level in self._attn_levels:
+                    h = self.decoder.up[i_level].attn[i_block](h)
+            if i_level != 0:
+                h = self.decoder.up[i_level].upsample(h)
+        return self.decoder.conv_out(_torch_swish(self.decoder.norm_out(h)))
+
+
+class TestFullDecoderOracle:
+    # two configs: single-attn-level 2-level, and a 3-level config with channel
+    # changes + two attn levels to exercise every branch of the naming walk
+    CFGS = [
+        dict(n_embed=32, embed_dim=8, z_channels=8, ch=8, ch_mult=(1, 2),
+             num_res_blocks=1, attn_resolutions=(4,), resolution=8, out_ch=3),
+        dict(n_embed=16, embed_dim=4, z_channels=4, ch=4, ch_mult=(1, 2, 4),
+             num_res_blocks=2, attn_resolutions=(4, 8), resolution=16, out_ch=3),
+    ]
+
+    def _oracle(self, cfg, mutate_sd=None):
+        torch.manual_seed(0)
+        tvq = _TamingVQ(cfg)
+        with torch.no_grad():
+            for p in tvq.parameters():
+                p.normal_(0.0, 0.2)
+        sd = {k: v.detach().numpy() for k, v in tvq.state_dict().items()}
+        if mutate_sd:
+            sd = mutate_sd(sd)
+        params = ti.convert_vqgan(sd, cfg)
+        vq = make_vqgan(cfg)
+
+        rng = np.random.default_rng(3)
+        s = cfg["resolution"] // (2 ** (len(cfg["ch_mult"]) - 1))
+        z_q = rng.normal(size=(2, s, s, cfg["embed_dim"])).astype(np.float32)
+        got = vq.apply(params, jnp.asarray(z_q), method=vq.decode_latent)
+        with torch.no_grad():
+            want = _nhwc(tvq.decode(_nchw(z_q)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+        # codebook came through for latent bounds
+        np.testing.assert_allclose(
+            np.asarray(params["params"]["codebook"]),
+            tvq.quantize.embedding.weight.detach().numpy(),
+        )
+
+    @pytest.mark.parametrize("icfg", [0, 1])
+    def test_full_decode_parity(self, icfg):
+        self._oracle(self.CFGS[icfg])
+
+    def test_gumbel_alias(self):
+        """GumbelVQ names the codebook quantize.embed (main.py:94)."""
+
+        def alias(sd):
+            sd = dict(sd)
+            sd["quantize.embed.weight"] = sd.pop("quantize.embedding.weight")
+            return sd
+
+        self._oracle(self.CFGS[0], mutate_sd=alias)
+
+    def test_net2net_prefix(self):
+        """Net2NetTransformer ckpts prefix everything with first_stage_model.
+        (the reference loads the wrapper and takes .first_stage_model,
+        main.py:95-99); convert_vqgan strips it."""
+
+        def prefix(sd):
+            return {f"first_stage_model.{k}": v for k, v in sd.items()}
+
+        self._oracle(self.CFGS[1], mutate_sd=prefix)

@@ -125,10 +125,9 @@ def convert_mapper_state_dict(sd: Dict[str, np.ndarray], cfg: TrainConfig):
         return ti.convert_mixer(sd, depth)
     if mt in ("vitgan", "simple_vitgan"):
         return ti.convert_vitgan_generator(sd, depth)
-    raise NotImplementedError(
-        f"no torch converter for model_type={mt!r} yet (xtransformer checkpoints "
-        "use lucidrains internals; see models/mappers/xtransformer.py docstring)"
-    )
+    if mt == "xtransformer":
+        return ti.convert_xtransformer(sd, depth)
+    raise NotImplementedError(f"no torch converter for model_type={mt!r}")
 
 
 def _vq_channels(cfg: TrainConfig) -> int:

@@ -440,6 +440,50 @@ def convert_vitgan_generator(sd: Dict[str, np.ndarray], blocks: int) -> Dict[str
     return {"params": params}
 
 
+def convert_xtransformer(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
+    """Reference XTransformer state dict (lucidrains x-transformers==0.19.1
+    internals, /root/reference/transformer.py:12-24) -> params for
+    models.mappers.xtransformer.XTransformer.
+
+    Key layout at that pin: outer `proj` (initial_proj mode only);
+    `transformer.project_in`; `transformer.pos_emb.emb.weight`
+    (AbsolutePositionalEmbedding's nn.Embedding); per block i the decoder
+    alternates attention (layers.{2i}) and feed-forward (layers.{2i+1}), each a
+    ModuleList [LayerNorm, layer, Residual] so the LN is `.0` and the layer
+    `.1`; attention has bias-free to_q/to_k/to_v and biased to_out; the FF nests
+    as net.0.0 (Linear inside Sequential(Linear, GELU)) and net.2;
+    `transformer.norm` + `transformer.project_out` close the wrapper."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    t = "transformer"
+    params: Dict[str, Any] = {
+        "project_in": _dense(sd, f"{t}.project_in"),
+        "final_norm": _layernorm(sd, f"{t}.norm"),
+        "project_out": _dense(sd, f"{t}.project_out"),
+    }
+    if f"{t}.pos_emb.emb.weight" in sd:
+        params["pos_emb"] = sd[f"{t}.pos_emb.emb.weight"]
+    else:  # some versions flatten the embedding onto pos_emb directly
+        params["pos_emb"] = sd[f"{t}.pos_emb.weight"]
+    if "proj.weight" in sd:
+        params["proj"] = _dense(sd, "proj")
+    for i in range(depth):
+        a = f"{t}.attn_layers.layers.{2 * i}"
+        f = f"{t}.attn_layers.layers.{2 * i + 1}"
+        params[f"block_{i}"] = {
+            "ln_attn": _layernorm(sd, f"{a}.0"),
+            "attn": {
+                "to_q": {"kernel": linear_kernel(sd[f"{a}.1.to_q.weight"])},
+                "to_k": {"kernel": linear_kernel(sd[f"{a}.1.to_k.weight"])},
+                "to_v": {"kernel": linear_kernel(sd[f"{a}.1.to_v.weight"])},
+                "to_out": _dense(sd, f"{a}.1.to_out"),
+            },
+            "ln_ff": _layernorm(sd, f"{f}.0"),
+            "ff1": _dense(sd, f"{f}.1.net.0.0"),
+            "ff2": _dense(sd, f"{f}.1.net.2"),
+        }
+    return {"params": params}
+
+
 def convert_vqgan(sd: Dict[str, np.ndarray], config: dict) -> Dict[str, Any]:
     """taming VQModel state dict -> params for models.vqgan.VQGAN.
 

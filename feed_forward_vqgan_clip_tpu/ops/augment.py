@@ -21,7 +21,9 @@ Parity notes per code (default train set is ('Af','Pe','Ji','Er'), main.py:165):
   Cr/Re/Re2/Cc/R crops+resizes     exact family
 """
 
+import functools
 import math
+import os
 from typing import Callable, Dict, List, Sequence
 
 import jax
@@ -124,6 +126,180 @@ def warp_perspective_inverse(img, h_inv, padding_mode="zeros"):
     return grid_sample(img, sx, sy, padding_mode)
 
 
+# ------------------------------------------------- fast-VJP projective warping
+#
+# XLA's autodiff backward of `grid_sample` w.r.t. the image is a scatter-add
+# (~400 ms/step per warp at train shapes, BENCH_NOTES.md). `warp_projective`
+# keeps the forward EXACTLY as above but replaces the image-gradient with the
+# gather-only Pallas adjoint (ops/pallas/warp_adjoint.py) whenever its static
+# candidate windows provably cover the draw; a lax.cond falls back to the XLA
+# transpose on the rare uncoverable draws, so gradients are exact ALWAYS.
+#
+# The warp matrices are never trainable (they are drawn from jax.random inside
+# the aug fns, /root/reference/main.py:167-201 semantics) — their cotangent is
+# returned as zeros.
+
+_WARP_VJP_MODE = os.environ.get("FFVC_WARP_VJP", "auto")  # auto | pallas | xla
+_WARP_INTERPRET = False  # tests flip this to exercise the kernel on CPU
+
+
+def _fast_vjp_enabled():
+    if _WARP_VJP_MODE == "xla":
+        return False
+    if _WARP_VJP_MODE == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _tile_for(h, w):
+    for t in (32, 16, 8):
+        if h % t == 0 and w % t == 0:
+            return t
+    return None
+
+
+def _proj_warp_math(img, m, padding_mode):
+    return warp_perspective_inverse(img, m, padding_mode)
+
+
+def _xla_adjoint(gout, m, img_sd, padding_mode):
+    (gimg,) = jax.linear_transpose(
+        lambda im: _proj_warp_math(im, m, padding_mode), img_sd
+    )(gout.astype(img_sd.dtype))
+    return gimg
+
+
+def _pad_transform(m, pad):
+    """Shift the map into replicate-padded coords: s_pad(q) = s(q) + pad."""
+    shift = jnp.zeros_like(m).at[:, 0, :].set(m[:, 2, :] * pad).at[:, 1, :].set(
+        m[:, 2, :] * pad
+    )
+    return m + shift
+
+
+def _fold_replicate(gp, pad_lo, h, w):
+    """Adjoint of replicate-padding: collapse pad-strip gradients onto the
+    border pixels (img_pad[y, x] = img[clip(y - pad, 0, h - 1), ...])."""
+    top = gp[:, :pad_lo].sum(axis=1)
+    bot = gp[:, pad_lo + h:].sum(axis=1)
+    core = gp[:, pad_lo : pad_lo + h]
+    core = core.at[:, 0].add(top).at[:, -1].add(bot)
+    left = core[:, :, :pad_lo].sum(axis=2)
+    right = core[:, :, pad_lo + w:].sum(axis=2)
+    core = core[:, :, pad_lo : pad_lo + w]
+    return core.at[:, :, 0].add(left).at[:, :, -1].add(right)
+
+
+def _s_field(m, oh, ow):
+    gx, gy = _base_grid(m.shape[0], oh, ow)
+    den = m[:, 2, 0, None, None] * gx + m[:, 2, 1, None, None] * gy + m[:, 2, 2, None, None]
+    den = jnp.where(jnp.abs(den) < 1e-8, jnp.where(den < 0, -1e-8, 1e-8), den)
+    sx = (m[:, 0, 0, None, None] * gx + m[:, 0, 1, None, None] * gy + m[:, 0, 2, None, None]) / den
+    sy = (m[:, 1, 0, None, None] * gx + m[:, 1, 1, None, None] * gy + m[:, 1, 2, None, None]) / den
+    return sx, sy
+
+
+def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
+    """Exact grad via the gather kernel, lax.cond-guarded to the XLA transpose."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import (
+        adjoint_plan,
+        pick_cand,
+        warp_adjoint,
+    )
+
+    b, h, w, c = img_sd.shape
+    oh, ow = gout.shape[1:3]
+    gout = gout.astype(jnp.float32)
+
+    if padding_mode == "zeros":
+        h_eff, w_eff, m_eff, pad_lo = h, w, m, 0
+        extra_uncov = jnp.bool_(False)
+    else:  # border -> zeros-mode adjoint in replicate-padded coordinates
+        tile0 = _tile_for(h + 2 * pad, w + 2 * pad) or 8
+        pad_hi_h = pad + (-(h + 2 * pad)) % tile0
+        pad_hi_w = pad + (-(w + 2 * pad)) % tile0
+        h_eff, w_eff = h + pad + pad_hi_h, w + pad + pad_hi_w
+        m_eff, pad_lo = _pad_transform(m, pad), pad
+        # equivalence with true border sampling requires no tap beyond the pad
+        sx, sy = _s_field(m, oh, ow)
+        extra_uncov = jnp.any(
+            (sx < -pad + 1) | (sx > w - 2 + pad) | (sy < -pad + 1) | (sy > h - 2 + pad)
+        )
+
+    tile = _tile_for(h_eff, w_eff)
+    cand = None
+    if tile is not None:
+        cand = min(pick_cand(tile, kind), (min(oh, ow) // 8) * 8)
+        if cand < tile + 8:
+            cand = None
+    if tile is None or cand is None:
+        return _xla_adjoint(gout, m, img_sd, padding_mode)
+
+    origins, uncovered = adjoint_plan(m_eff, (h_eff, w_eff), (oh, ow), tile, cand)
+    uncovered = uncovered | extra_uncov
+
+    def fast(g):
+        gp = warp_adjoint(
+            g, m_eff, origins, in_hw=(h_eff, w_eff), tile=tile, cand=cand,
+            interpret=_WARP_INTERPRET,
+        )
+        if padding_mode == "zeros":
+            return gp
+        return _fold_replicate(gp, pad_lo, h, w)
+
+    def slow(g):
+        return _xla_adjoint(g, m, img_sd, padding_mode).astype(jnp.float32)
+
+    return jax.lax.cond(uncovered, slow, fast, gout).astype(img_sd.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective"):
+    """grid_sample with a projective (B, 3, 3) output->input map `m` and a
+    gather-only exact VJP. Forward numerics identical to
+    warp_perspective_inverse. `pad` (border mode) must statically bound the
+    out-of-frame sampling overshoot of the draw distribution — overshoot beyond
+    it is detected and routed to the exact XLA fallback."""
+    return _proj_warp_math(img, m, padding_mode)
+
+
+def _warp_projective_fwd(img, m, padding_mode, pad, kind):
+    out = _proj_warp_math(img, m, padding_mode)
+    return out, (m, jax.ShapeDtypeStruct(img.shape, img.dtype))
+
+
+def _warp_projective_bwd(padding_mode, pad, kind, res, gout):
+    m, img_sd = res
+    if _fast_vjp_enabled():
+        gimg = _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind)
+    else:
+        gimg = _xla_adjoint(gout, m, img_sd, padding_mode)
+    return gimg, jnp.zeros_like(m)
+
+
+warp_projective.defvjp(_warp_projective_fwd, _warp_projective_bwd)
+
+
+def _affine3(inv2x3):
+    b = inv2x3.shape[0]
+    last = jnp.broadcast_to(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (b, 1, 3))
+    return jnp.concatenate([inv2x3, last], axis=1)
+
+
+def _affine_pad(h, w, degrees, translate):
+    """Static bound on |s| overshoot beyond the frame for rotation(+-degrees)
+    about the center + translate: corner displacement 2 sin(deg/2) * diag/2,
+    plus the translation."""
+    diag = math.hypot(h, w)
+    return int(
+        math.ceil(2 * math.sin(math.radians(degrees) / 2) * diag / 2
+                  + translate * max(h, w)) + 2
+    )
+
+
 # ---------------------------------------------------------------- color space
 
 
@@ -210,7 +386,9 @@ def fused_affine_perspective(key, x, degrees=15.0, translate=0.1, p_af=0.7,
     # out(q) = img(Af_inv . Pe_inv . q): Pe is applied LAST in the reference
     # chain, so its inverse acts first on the output coordinate
     m = jnp.einsum("bij,bjk->bik", af3, h_inv)
-    return warp_perspective_inverse(x, m, padding_mode="border")
+    return warp_projective(
+        x, m, "border", _affine_pad(h, w, degrees, translate) + 16, "projective"
+    )
 
 
 def random_affine(key, x, degrees=15.0, translate=0.1, p=0.7):
@@ -221,7 +399,10 @@ def random_affine(key, x, degrees=15.0, translate=0.1, p=0.7):
     tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
     ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
     inv = _affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)
-    return _apply_p(kp, p, warp_affine_inverse(x, inv, padding_mode="border"), x)
+    warped = warp_projective(
+        x, _affine3(inv), "border", _affine_pad(h, w, degrees, translate), "affine"
+    )
+    return _apply_p(kp, p, warped, x)
 
 
 def random_rotation(key, x, degrees=15.0, p=0.7):
@@ -231,7 +412,7 @@ def random_rotation(key, x, degrees=15.0, p=0.7):
     ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
     zero = jnp.zeros((b,))
     inv = _affine_inverse_about_center(ang, zero, zero, jnp.ones((b,)), h, w)
-    return _apply_p(kp, p, warp_affine_inverse(x, inv, padding_mode="zeros"), x)
+    return _apply_p(kp, p, warp_projective(x, _affine3(inv), "zeros", 0, "affine"), x)
 
 
 def random_perspective(key, x, distortion_scale=0.7, p=0.7):
@@ -248,7 +429,7 @@ def random_perspective(key, x, distortion_scale=0.7, p=0.7):
     dst = base[None] + disp
     # inverse warp: map output (distorted) corners back to source corners
     h_inv = solve_homography(dst, jnp.broadcast_to(base, (b, 4, 2)))
-    return _apply_p(kp, p, warp_perspective_inverse(x, h_inv), x)
+    return _apply_p(kp, p, warp_projective(x, h_inv, "zeros", 0, "projective"), x)
 
 
 def color_jitter(key, x, brightness=0.0, contrast=0.0, saturation=0.1, hue=0.1, p=0.7):

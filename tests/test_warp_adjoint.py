@@ -1,0 +1,125 @@
+"""Exactness of the gather-only warp adjoint (ops/pallas/warp_adjoint.py).
+
+The fast VJP must be bit-for-bit-ish EQUAL to XLA's autodiff (scatter) backward
+of the same forward — zeros and border modes, affine and perspective families,
+plus the lax.cond fallback on uncoverable draws. Runs the kernel in interpret
+mode on CPU.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feed_forward_vqgan_clip_tpu.ops import augment as A
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas_vjp(monkeypatch):
+    monkeypatch.setattr(A, "_WARP_VJP_MODE", "pallas")
+    monkeypatch.setattr(A, "_WARP_INTERPRET", True)
+
+
+def _rot_trans_mats(key, b, h, w, degrees=15.0, translate=0.1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
+    tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
+    inv = A._affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)
+    return A._affine3(inv)
+
+
+def _pe_mats(key, b, h, w, distortion=0.2):
+    base = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    half = jnp.asarray([w, h], jnp.float32) * (distortion / 2.0)
+    disp = jax.random.uniform(key, (b, 4, 2)) * half * signs
+    return A.solve_homography(base[None] + disp, jnp.broadcast_to(base, (b, 4, 2)))
+
+
+def _grads(img, m, padding_mode, pad, kind, weights):
+    def fast_loss(im):
+        return jnp.sum(A.warp_projective(im, m, padding_mode, pad, kind) * weights)
+
+    def ref_loss(im):
+        return jnp.sum(A.warp_perspective_inverse(im, m, padding_mode) * weights)
+
+    return jax.grad(fast_loss)(img), jax.grad(ref_loss)(img)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_zeros_affine_adjoint_exact(seed):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = _rot_trans_mats(jax.random.PRNGKey(seed), 2, 64, 64)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    got, want = _grads(img, m, "zeros", 0, "affine", wts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_zeros_perspective_adjoint_exact(seed):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = _pe_mats(jax.random.PRNGKey(seed), 2, 64, 64, distortion=0.2)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    got, want = _grads(img, m, "zeros", 0, "projective", wts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_border_affine_adjoint_exact():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = _rot_trans_mats(jax.random.PRNGKey(4), 2, 64, 64)
+    pad = A._affine_pad(64, 64, 15.0, 0.1)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    got, want = _grads(img, m, "border", pad, "affine", wts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_uncovered_draw_falls_back_exactly():
+    """A violently-contracting homography overflows any candidate window; the
+    lax.cond must route to the XLA transpose and stay exact."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    m = _pe_mats(jax.random.PRNGKey(5), 1, 64, 64, distortion=1.4)
+    from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import adjoint_plan
+
+    _, uncovered = adjoint_plan(m, (64, 64), (64, 64), 32, 56)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    got, want = _grads(img, m, "zeros", 0, "projective", wts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_forward_unchanged():
+    """warp_projective's forward must be the plain XLA grid-sample, bit-equal."""
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    for mode, mats in (("zeros", _pe_mats(jax.random.PRNGKey(6), 2, 64, 64)),
+                       ("border", _rot_trans_mats(jax.random.PRNGKey(7), 2, 64, 64))):
+        out = A.warp_projective(img, mats, mode, 8, "projective")
+        ref = A.warp_perspective_inverse(img, mats, mode)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_aug_grads_match_between_modes(monkeypatch):
+    """End-to-end: random_affine + random_perspective gradients identical with
+    the fast VJP and the plain XLA path (same PRNG keys -> same draws)."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    def loss(im):
+        x = A.random_affine(key, im)
+        x = A.random_perspective(jax.random.fold_in(key, 1), x, 0.2)
+        return jnp.sum(x * wts)
+
+    g_fast = jax.grad(loss)(img)
+    monkeypatch.setattr(A, "_WARP_VJP_MODE", "xla")
+    g_ref = jax.grad(loss)(img)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), atol=2e-4, rtol=1e-4
+    )

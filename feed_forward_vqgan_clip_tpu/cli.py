@@ -82,6 +82,15 @@ def _cmd_train_prior(args):
     train_prior(load_config(args.config_file))
 
 
+def _cmd_merge_features(args):
+    from feed_forward_vqgan_clip_tpu.data.encode import merge_features
+
+    inputs = args.inputs[0] if len(args.inputs) == 1 and any(
+        ch in args.inputs[0] for ch in "*?["
+    ) else args.inputs
+    merge_features(inputs, args.out)
+
+
 def _cmd_download_weights(args):
     from feed_forward_vqgan_clip_tpu.download_weights import download_all
 
@@ -145,6 +154,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--image-quality-threshold", type=float, default=None)
     t.add_argument("--merge", action="store_true")
     t.set_defaults(fn=_cmd_encode_wds)
+
+    t = sub.add_parser(
+        "merge-features", aliases=["merge_features"],
+        help="concatenate per-process feature shards into one file (main.py:372-390)",
+    )
+    t.add_argument("inputs", nargs="+", help="shard paths or one glob pattern")
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=_cmd_merge_features)
 
     t = sub.add_parser("evaluate", help="CLIP score / FID over prompts (main.py:1063)")
     t.add_argument("model_path")

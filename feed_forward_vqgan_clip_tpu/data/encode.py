@@ -59,6 +59,34 @@ def _save_pairs(out: str, text_feats: np.ndarray, image_feats: np.ndarray):
         np.savez(out if out.endswith(".npz") else out + ".npz", x=text_feats, y=image_feats)
 
 
+def _load_pairs(path: str):
+    if path.endswith((".pkl", ".th", ".pt")):
+        import torch
+
+        t, i = torch.load(path, map_location="cpu", weights_only=False)
+        return np.asarray(t), np.asarray(i)
+    with np.load(path) as z:
+        return z["x"], z["y"]
+
+
+def merge_features(inputs, out: str) -> str:
+    """Concatenate per-process feature shards into ONE file — the reference's
+    rank-0 merge after hvd.join (/root/reference/main.py:372-390), offline form.
+    `inputs`: explicit paths or a glob pattern."""
+    if isinstance(inputs, str):
+        paths = sorted(glob(inputs))
+    else:
+        paths = list(inputs)
+    if not paths:
+        raise FileNotFoundError(f"no feature shards match {inputs!r}")
+    pairs = [_load_pairs(p) for p in paths]
+    text_feats = np.concatenate([p[0] for p in pairs])
+    image_feats = np.concatenate([p[1] for p in pairs])
+    _save_pairs(out, text_feats, image_feats)
+    log.info("Merged %d shards (%d pairs) -> %s", len(paths), len(text_feats), out)
+    return out
+
+
 def encode_text_and_images(
     folder: str,
     *,
@@ -81,9 +109,14 @@ def encode_text_and_images(
         imgs = np.stack(
             [preprocess_image(Image.open(p), size) for p in img_paths[i : i + batch_size]]
         )
-        toks = tok.tokenize(texts, truncate=True)
-        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks))))
-        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs))))
+        toks = np.asarray(tok.tokenize(texts, truncate=True))
+        n = len(texts)
+        if n < batch_size:  # pad the tail to the compiled static shape
+            reps = -(-batch_size // n)
+            toks = np.concatenate([toks] * reps)[:batch_size]
+            imgs = np.concatenate([imgs] * reps)[:batch_size]
+        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks)))[:n])
+        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs)))[:n])
     _save_pairs(out, np.concatenate(tf_list), np.concatenate(if_list))
     log.info("Encoded %d pairs -> %s", len(text_paths), out)
     return out
@@ -121,11 +154,19 @@ def encode_text_and_images_webdataset(
         nonlocal nb
         if not batch_imgs:
             return
-        toks = tok.tokenize(batch_texts, truncate=True)
+        n = len(batch_imgs)
+        toks = np.asarray(tok.tokenize(batch_texts, truncate=True))
         imgs = np.stack(batch_imgs)
-        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks))))
-        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs))))
-        nb += len(batch_imgs)
+        if n < batch_size:
+            # pad the final batch to the compiled static shape (everywhere else
+            # in the framework shapes are static; a ragged tail would trigger
+            # one extra XLA compile per distinct remainder)
+            reps = -(-batch_size // n)
+            toks = np.concatenate([toks] * reps)[:batch_size]
+            imgs = np.concatenate([imgs] * reps)[:batch_size]
+        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks)))[:n])
+        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs)))[:n])
+        nb += n
         log.info("%d encoded", nb)
         batch_imgs.clear()
         batch_texts.clear()
@@ -147,13 +188,23 @@ def encode_text_and_images_webdataset(
     image_feats = np.concatenate(if_list) if if_list else np.zeros((0, perceptor.dim), np.float32)
 
     if jax.process_count() > 1:
-        shard_out = f"{out}_{jax.process_index()}"
-        _save_pairs(shard_out, text_feats, image_feats)
-        if merge and jax.process_index() == 0:
-            log.info(
-                "per-process shards written as %s_<rank>; merge them once all "
-                "processes finish (multi-controller barrier not available here)", out
-            )
+        _save_pairs(_shard_path(out, jax.process_index()), text_feats, image_feats)
+        if merge:
+            # the reference's hvd.join + rank-0 merge (main.py:372-390): barrier
+            # across processes, then the primary concatenates all shards
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ffvc_encode_merge")
+            if jax.process_index() == 0:
+                shards = [_shard_path(out, r) for r in range(jax.process_count())]
+                merge_features([s for s in shards if os.path.exists(s)], out)
     else:
         _save_pairs(out, text_feats, image_feats)
     return out
+
+
+def _shard_path(out: str, rank: int) -> str:
+    base, ext = os.path.splitext(out)
+    if ext in (".pkl", ".th", ".pt", ".npz"):
+        return f"{base}_{rank}{ext}"
+    return f"{out}_{rank}.npz"

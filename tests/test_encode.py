@@ -91,3 +91,41 @@ class TestWebdatasetEncoder:
         out = str(tmp_path / "q.npz")
         encode_text_and_images_webdataset(p, out=out, image_quality_threshold=5.0)
         assert np.load(out)["x"].shape[0] == 1  # filter skipped, data encoded
+
+
+def test_merge_features_roundtrip(tmp_path):
+    """ffvc merge-features: the reference's rank-0 shard merge (main.py:372-390)."""
+    import numpy as np
+
+    from feed_forward_vqgan_clip_tpu.data.encode import _load_pairs, merge_features
+
+    rng = np.random.default_rng(0)
+    parts = []
+    for r in range(3):
+        x, y = rng.normal(size=(4 + r, 8)).astype(np.float32), rng.normal(size=(4 + r, 8)).astype(np.float32)
+        p = tmp_path / f"features_{r}.npz"
+        np.savez(p, x=x, y=y)
+        parts.append((x, y))
+    out = merge_features(str(tmp_path / "features_*.npz"), str(tmp_path / "merged.npz"))
+    mx, my = _load_pairs(out if out.endswith(".npz") else out + ".npz")
+    np.testing.assert_array_equal(mx, np.concatenate([p[0] for p in parts]))
+    np.testing.assert_array_equal(my, np.concatenate([p[1] for p in parts]))
+
+
+def test_merge_features_torch_format(tmp_path):
+    import numpy as np
+    import torch
+
+    from feed_forward_vqgan_clip_tpu.data.encode import _load_pairs, merge_features
+
+    rng = np.random.default_rng(1)
+    for r in range(2):
+        torch.save(
+            (torch.tensor(rng.normal(size=(3, 4)).astype(np.float32)),
+             torch.tensor(rng.normal(size=(3, 4)).astype(np.float32))),
+            tmp_path / f"f_{r}.pkl",
+        )
+    out = merge_features([str(tmp_path / "f_0.pkl"), str(tmp_path / "f_1.pkl")],
+                         str(tmp_path / "merged.pkl"))
+    mx, my = _load_pairs(out)
+    assert mx.shape == (6, 4) and my.shape == (6, 4)

@@ -119,6 +119,31 @@ def _resblock(sd, prefix):
     }
 
 
+def _normalize_openclip_naming(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize open_clip checkpoint layouts to the OpenAI CLIP naming the
+    converter walks (reference loads these via open_clip.create_model_and_
+    transforms, main.py:1323-1329):
+      * DDP/compile wrappers prefix everything with 'module.' / '_orig_mod.';
+        some exports nest under 'model.';
+      * CustomTextCLIP nests the text tower under 'text.' (text.token_embedding,
+        text.ln_final, text.text_projection, ...) while OpenAI keeps it at the
+        top level."""
+    for prefix in ("module.", "_orig_mod.", "model."):
+        if any(k.startswith(prefix) for k in sd) and not any(
+            k.startswith("visual.") or k == "logit_scale" for k in sd
+        ):
+            sd = {
+                (k[len(prefix):] if k.startswith(prefix) else k): v
+                for k, v in sd.items()
+            }
+    if any(k.startswith("text.") for k in sd) and "token_embedding.weight" not in sd:
+        sd = {
+            (k[len("text."):] if k.startswith("text.") else k): v
+            for k, v in sd.items()
+        }
+    return sd
+
+
 def convert_clip_vit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """OpenAI CLIP ViT state dict -> params for models.clip_vit.CLIP.
 
@@ -129,6 +154,7 @@ def convert_clip_vit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     Released checkpoints are fp16; everything is cast to f32 here.
     """
     sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    sd = _normalize_openclip_naming(sd)
     n_vis = max(
         int(k.split(".")[3]) + 1
         for k in sd

@@ -166,3 +166,59 @@ class TestConverterRoundtrip:
         assert ref_paths == got_paths
         te, ie = clip.apply(params, toks, imgs)
         assert np.isfinite(np.asarray(te)).all() and np.isfinite(np.asarray(ie)).all()
+
+    def _fake_openai_sd(self, rng):
+        cfg = TINY
+        d, layers = cfg["vision_width"], cfg["vision_layers"]
+        td, tlayers = cfg["text_width"], cfg["text_layers"]
+        grid = cfg["image_size"] // cfg["patch_size"]
+        g = lambda *s: rng.normal(size=s).astype(np.float32)
+        sd = {
+            "visual.conv1.weight": g(d, 3, cfg["patch_size"], cfg["patch_size"]),
+            "visual.class_embedding": g(d),
+            "visual.positional_embedding": g(grid * grid + 1, d),
+            "visual.ln_pre.weight": g(d), "visual.ln_pre.bias": g(d),
+            "visual.ln_post.weight": g(d), "visual.ln_post.bias": g(d),
+            "visual.proj": g(d, cfg["embed_dim"]),
+            "token_embedding.weight": g(cfg["vocab_size"], td),
+            "positional_embedding": g(cfg["context_length"], td),
+            "ln_final.weight": g(td), "ln_final.bias": g(td),
+            "text_projection": g(td, cfg["embed_dim"]),
+            "logit_scale": np.float32(4.6052),
+        }
+        for pre, dd, nl in [("visual.transformer", d, layers), ("transformer", td, tlayers)]:
+            for i in range(nl):
+                p = f"{pre}.resblocks.{i}"
+                sd.update({
+                    f"{p}.ln_1.weight": g(dd), f"{p}.ln_1.bias": g(dd),
+                    f"{p}.attn.in_proj_weight": g(3 * dd, dd),
+                    f"{p}.attn.in_proj_bias": g(3 * dd),
+                    f"{p}.attn.out_proj.weight": g(dd, dd),
+                    f"{p}.attn.out_proj.bias": g(dd),
+                    f"{p}.ln_2.weight": g(dd), f"{p}.ln_2.bias": g(dd),
+                    f"{p}.mlp.c_fc.weight": g(4 * dd, dd), f"{p}.mlp.c_fc.bias": g(4 * dd),
+                    f"{p}.mlp.c_proj.weight": g(dd, 4 * dd), f"{p}.mlp.c_proj.bias": g(dd),
+                })
+        return sd
+
+    def test_openclip_naming_variants(self, rng):
+        """open_clip checkpoint layouts (reference main.py:1323-1329): DDP
+        'module.' prefixes and CustomTextCLIP 'text.'-nested text towers must
+        convert to the SAME params as the OpenAI layout."""
+        sd = self._fake_openai_sd(rng)
+        want = ti.convert_clip_vit(dict(sd))
+
+        ddp = {f"module.{k}": v for k, v in sd.items()}
+        got = ti.convert_clip_vit(ddp)
+        assert jax.tree.all(jax.tree.map(np.array_equal, got, want))
+
+        text_keys = (
+            "token_embedding.weight", "positional_embedding", "ln_final.weight",
+            "ln_final.bias", "text_projection",
+        )
+        custom = {
+            (f"text.{k}" if k.startswith(("transformer.",)) or k in text_keys else k): v
+            for k, v in sd.items()
+        }
+        got = ti.convert_clip_vit(custom)
+        assert jax.tree.all(jax.tree.map(np.array_equal, got, want))

@@ -137,7 +137,16 @@ def evaluate(
     clip_scores = np.concatenate(scores_batches)
     out = os.path.join(out_folder, f"eval_{name}.npy")
     np.save(out, clip_scores)
-    log.info("Saved %s", out)
+    # the reference writes the per-prompt scores as a torch tensor
+    # `eval_<name>.th` (main.py:1240-1245); keep that artifact too so
+    # downstream reference tooling finds it
+    try:
+        import torch
+
+        torch.save(torch.tensor(clip_scores), os.path.join(out_folder, f"eval_{name}.th"))
+    except Exception as e:  # pragma: no cover
+        log.warning("could not write eval_%s.th: %s", name, e)
+    log.info("Saved %s (+ .th)", out)
 
     dump = {
         "clip_score_mean": float(clip_scores.mean()),

@@ -29,7 +29,7 @@ from feed_forward_vqgan_clip_tpu.train.state import make_optimizer, make_train_s
 log = logging.getLogger(__name__)
 
 
-def _load_pairs(path: str):
+def _load_pairs(path: str, seed: int = 0):
     def load_one(p):
         if p.endswith(".npz"):
             z = np.load(p)
@@ -41,7 +41,11 @@ def _load_pairs(path: str):
 
     if os.path.isdir(path):
         paths = sorted(glob(os.path.join(path, "*")))
-        random.shuffle(paths)
+        # SEEDED shuffle before the modulo-rank split. The reference's
+        # unseeded random.shuffle (main.py:1348-1351) gives each process a
+        # different permutation, so shards overlap/go missing across ranks —
+        # a real multi-process data bug; fixed deviation, noted in PARITY.md.
+        random.Random(seed).shuffle(paths)
         paths = [
             p for i, p in enumerate(paths)
             if i % jax.process_count() == jax.process_index()
@@ -59,7 +63,7 @@ def train_prior(cfg):
     logging_cfg = cfg.get("logging") or {}
     model_cfg = cfg.get("model") or {}
 
-    x, y = _load_pairs(data_cfg["path"])
+    x, y = _load_pairs(data_cfg["path"], int(cfg.get("seed") or 0))
     input_size, output_size = x.shape[1], y.shape[1]
     bs = int(data_cfg.get("batch_size", 128))
     lr = float(optim_cfg.get("lr", 1e-4))
@@ -78,8 +82,9 @@ def train_prior(cfg):
     if os.path.exists(os.path.join(ckpt_dir, "meta.json")):
         variables = ckpt_io.load_pytree(os.path.join(ckpt_dir, "params.msgpack"))
         with open(os.path.join(ckpt_dir, "meta.json")) as fd:
-            step = int(json.load(fd)["step"])
-        log.info("Resuming prior from step %d", step)
+            meta = json.load(fd)
+        step, epoch0 = int(meta["step"]), int(meta.get("epoch", 0))
+        log.info("Resuming prior from step %d (epoch %d)", step, epoch0)
     else:
         variables = jax.jit(flow.init)(
             jax.random.PRNGKey(seed),
@@ -130,7 +135,7 @@ def train_prior(cfg):
             return jax.device_put(rows, ds)
         return jax.make_array_from_process_local_data(ds, rows)
 
-    def save(step):
+    def save(step, epoch=0):
         path = os.path.join(folder, "checkpoint")
         os.makedirs(path, exist_ok=True)
         ckpt_io.save_pytree(
@@ -142,7 +147,7 @@ def train_prior(cfg):
                 {
                     "config": {"model": dict(model_cfg)},
                     "step": step,
-                    "epoch": 0,
+                    "epoch": epoch,
                     "input_size": int(input_size),
                     "output_size": int(output_size),
                 },
@@ -162,12 +167,12 @@ def train_prior(cfg):
                         writer.add_scalar(k, float(v), step)
                 if primary and step % log_interval == 0:
                     print(epoch, step, float(metrics["loss"]), flush=True)
-                    save(step)
+                    save(step, epoch)
                 step += 1
                 if max_steps is not None and step >= int(max_steps):
                     if primary:
-                        save(step)
+                        save(step, epoch)
                     return state
     if primary:
-        save(step)
+        save(step, max(epochs - 1, epoch0))
     return state

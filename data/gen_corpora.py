@@ -30,7 +30,36 @@ def write_split(texts, name):
     print(f"{name}: {nb_train} train / {len(texts) - nb_train} test")
 
 
+def gen_grid(n=9, out="test.txt", seed=None):
+    """The reference's data/MIT_objects_gen_grid.py: sample n objects at random
+    and write the full n*n 'made of' grid (object x material product) to `out`.
+    The reference shuffles unseeded; pass --seed for a reproducible grid."""
+    _, objs = load_vocab()
+    objs = list(objs)
+    random.Random(seed).shuffle(objs)
+    objs = objs[:n]
+    texts = [
+        f"The {obj} in this picture is made of {adj}."
+        for adj, obj in product(objs, objs)
+    ]
+    with open(out, "w") as fd:
+        fd.write("\n".join(texts))
+    print(f"grid: {len(texts)} captions ({n}x{n}) -> {out}")
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid", type=int, default=None, metavar="N",
+                    help="instead of the splits, write an NxN object grid (MIT_objects_gen_grid.py)")
+    ap.add_argument("--out", default="test.txt")
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+    if args.grid:
+        gen_grid(args.grid, args.out, args.seed)
+        return
+
     adjs, objs = load_vocab()
 
     states = [

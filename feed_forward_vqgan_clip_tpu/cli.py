@@ -55,6 +55,8 @@ def _cmd_encode_wds(args):
         args.pattern, clip_model=args.clip_model, clip_path=args.clip_path,
         batch_size=args.batch_size, img_col=args.img_col, txt_col=args.txt_col,
         out=args.out, image_quality_threshold=args.image_quality_threshold,
+        image_quality_method=args.image_quality_method,
+        nima_weights_path=args.nima_weights_path,
         merge=args.merge,
     )
 
@@ -89,6 +91,18 @@ def _cmd_merge_features(args):
         ch in args.inputs[0] for ch in "*?["
     ) else args.inputs
     merge_features(inputs, args.out)
+
+
+def _cmd_verify_weights(args):
+    from feed_forward_vqgan_clip_tpu.verify_weights import verify_weights
+
+    report = verify_weights(
+        args.weights_dir, goldens_dir=args.goldens_dir, models=args.models or None,
+        download=args.download, update_goldens=args.update_goldens,
+        atol=args.atol, out=args.out,
+    )
+    if report["summary"]["fail"]:
+        sys.exit(1)
 
 
 def _cmd_download_weights(args):
@@ -152,6 +166,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--txt-col", default="output.txt")
     t.add_argument("--out", default="features.npz")
     t.add_argument("--image-quality-threshold", type=float, default=None)
+    t.add_argument("--image-quality-method", default="nima")
+    t.add_argument("--nima-weights-path", default=None, help="NIMA .pth (or $FFVC_NIMA_WEIGHTS)")
     t.add_argument("--merge", action="store_true")
     t.set_defaults(fn=_cmd_encode_wds)
 
@@ -188,6 +204,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("download-weights", help="fetch the released model zoo")
     t.set_defaults(fn=_cmd_download_weights)
+
+    t = sub.add_parser(
+        "verify-weights", aliases=["verify_weights"],
+        help="convert released checkpoints, probe deterministically, diff vs goldens",
+    )
+    t.add_argument("--weights-dir", default=None, help="default $FFVC_WEIGHTS_DIR or ./weights")
+    t.add_argument("--goldens-dir", default="goldens")
+    t.add_argument("--models", nargs="*", help="zoo names or paths (default: all mappers)")
+    t.add_argument("--download", action="store_true", help="fetch missing zoo files first")
+    t.add_argument("--update-goldens", action="store_true")
+    t.add_argument("--atol", type=float, default=2e-2)
+    t.add_argument("--out", default="verify_weights_report.json")
+    t.set_defaults(fn=_cmd_verify_weights)
 
     t = sub.add_parser("bench", help="run the benchmark harness")
     t.set_defaults(fn=_cmd_bench)

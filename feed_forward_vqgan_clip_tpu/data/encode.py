@@ -9,9 +9,11 @@ always uses the ViT-B/32 (224px) preprocess regardless of the encoding model
 (main.py:255, 314), which would crash 288px perceptors; here the perceptor's own
 input size is used.
 
-The pyiqa quality filter is gated: absent in this environment, a threshold
-request logs a warning and is skipped (the reference silently ignores a failed
-pyiqa import too, main.py:308-312).
+The quality filter is a TPU-native NIMA (models/nima.py) replacing the
+reference's optional pyiqa metric (main.py:308-312, 348-354): pass
+`image_quality_threshold` plus NIMA weights (--nima-weights-path or
+$FFVC_NIMA_WEIGHTS); without weights the filter warns and is skipped, matching
+the reference's silent degradation on a failed pyiqa import.
 """
 
 import logging
@@ -132,13 +134,30 @@ def encode_text_and_images_webdataset(
     txt_col: str = "output.txt",
     out: str = "features.npz",
     image_quality_threshold: Optional[float] = None,
+    image_quality_method: str = "nima",
+    nima_weights_path: Optional[str] = None,
     merge: bool = False,
 ):
+    nima_fn = None
     if image_quality_threshold is not None:
-        log.warning(
-            "image_quality_threshold requested but pyiqa is unavailable — skipping "
-            "the quality filter (the reference also degrades silently, main.py:308-312)"
-        )
+        # TPU-native NIMA replaces the reference's pyiqa filter
+        # (main.py:308-312, 348-354); weights via flag or FFVC_NIMA_WEIGHTS.
+        if image_quality_method != "nima":
+            raise ValueError(
+                f"unsupported image_quality_method {image_quality_method!r} (only 'nima')"
+            )
+        path = nima_weights_path or os.environ.get("FFVC_NIMA_WEIGHTS")
+        if path and os.path.exists(path):
+            from feed_forward_vqgan_clip_tpu.models.nima import make_nima_fn
+
+            nima_fn = make_nima_fn(path)
+        else:
+            log.warning(
+                "image_quality_threshold set but no NIMA weights found "
+                "(--nima-weights-path / $FFVC_NIMA_WEIGHTS) — skipping the "
+                "quality filter (the reference degrades silently on a failed "
+                "pyiqa import too, main.py:308-312)"
+            )
     perceptor = load_perceptor(clip_model, clip_path)
     size = perceptor.size
     tok = get_tokenizer()
@@ -164,9 +183,21 @@ def encode_text_and_images_webdataset(
             reps = -(-batch_size // n)
             toks = np.concatenate([toks] * reps)[:batch_size]
             imgs = np.concatenate([imgs] * reps)[:batch_size]
-        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks)))[:n])
-        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs)))[:n])
-        nb += n
+        keep = np.ones(n, bool)
+        if nima_fn is not None:
+            # score in [0,1] space: de-normalize the CLIP batch like the
+            # reference's X*std+mean (main.py:349)
+            mean = np.asarray(CLIP_MEAN, np.float32)
+            std = np.asarray(CLIP_STD, np.float32)
+            scores = np.asarray(nima_fn(jnp.asarray(imgs * std + mean)))[:n]
+            keep = scores >= image_quality_threshold
+            if not keep.any():
+                batch_imgs.clear()
+                batch_texts.clear()
+                return
+        tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks)))[:n][keep])
+        if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs)))[:n][keep])
+        nb += int(keep.sum())
         log.info("%d encoded", nb)
         batch_imgs.clear()
         batch_texts.clear()

@@ -367,6 +367,37 @@ def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": blocks}
 
 
+def convert_nima(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """NIMA checkpoint (InceptionV3 trunk + 10-way head) -> models.nima.NIMA
+    params. Accepts 'module.'/'base_model.'/'backbone.'/'features.' backbone
+    prefixes and any '*.weight/bias' 10-out linear head (classifier/head/fc
+    naming all match by shape). Replaces pyiqa's InferenceModel('nima') load
+    path (/root/reference/main.py:310)."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    backbone_sd: Dict[str, np.ndarray] = {}
+    head_w = head_b = None
+    for k, v in sd.items():
+        base = k
+        for prefix in ("module.", "base_model.", "backbone.", "features.", "model."):
+            if base.startswith(prefix):
+                base = base[len(prefix):]
+        if v.ndim == 2 and v.shape[0] == 10:
+            head_w = v
+        elif v.ndim == 1 and v.shape == (10,) and k.endswith("bias"):
+            head_b = v
+        else:
+            backbone_sd[base] = v
+    if head_w is None or head_b is None:
+        raise KeyError("no 10-way NIMA head (weight (10, F) + bias (10,)) in state dict")
+    trunk = convert_inception(backbone_sd)["params"]
+    return {
+        "params": {
+            "backbone": trunk,
+            "classifier": {"kernel": linear_kernel(head_w), "bias": head_b},
+        }
+    }
+
+
 def convert_vgg16(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision vgg16 ('features.N.*') or taming-LPIPS ('net.sliceK.N.*' /
     'sliceK.N.*') state dict -> params for models.vgg.VGG16Features."""

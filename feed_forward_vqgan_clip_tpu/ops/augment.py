@@ -16,8 +16,8 @@ Parity notes per code (default train set is ('Af','Pe','Ji','Er'), main.py:165):
   Er/Er2 RandomErasing(scale (.1,.4), ratio (.3,3.33), p .7)        exact family
   Ji2 ColorJitter(brightness .1, contrast .1, sat .05, hue .05, p .5)
   Sh  RandomSharpness(.4, p .7)    Gn  GaussianNoise(std 1, p .5)
-  Ro  RandomRotation(15, p .7)     Et  ElasticTransform(p .7)       approximate sigma
-  Ts  ThinPlateSpline(.3, p .7)    approximate (RBF on 3x3 control grid)
+  Ro  RandomRotation(15, p .7)     Et  ElasticTransform(p .7)       exact (kornia 0.5.10 kernel)
+  Ts  ThinPlateSpline(.3, p .7)    exact (kornia 0.5.10 TPS incl. its center quirk)
   Cr/Re/Re2/Cc/R crops+resizes     exact family
 """
 
@@ -28,7 +28,6 @@ from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 # ---------------------------------------------------------------- core sampler
@@ -503,42 +502,117 @@ def gaussian_noise(key, x, mean=0.0, std=1.0, p=0.5):
     return _apply_p(kp, p, noisy, x)
 
 
+def _sample_normalized_ac_false(x, gx_norm, gy_norm):
+    """F.grid_sample(align_corners=False, padding_mode='zeros') semantics: map
+    normalized [-1,1] coords to pixel centers via p = ((g+1)*S - 1)/2 and
+    bilinear-sample with per-tap zeroing outside the frame."""
+    _, h, w, _ = x.shape
+    sx = ((gx_norm + 1.0) * w - 1.0) / 2.0
+    sy = ((gy_norm + 1.0) * h - 1.0) / 2.0
+    return grid_sample(x, sx, sy, "zeros")
+
+
+def elastic_warp(x, noise, kernel_size=63, sigma=32.0, alpha=1.0):
+    """kornia 0.5.10 `elastic_transform2d` exactly: uniform noise field (B,H,W,2)
+    blurred by a normalized zero-padded Gaussian ('constant' border), scaled by
+    alpha, added to the NORMALIZED align-corners meshgrid, clamped to [-1,1],
+    sampled with align_corners=False + zeros padding."""
+    b, h, w, _ = x.shape
+    disp = _gaussian_blur(noise, kernel_size, sigma) * alpha
+    gnx = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+    gny = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+    gx = jnp.clip(gnx[None, None, :] + disp[..., 0], -1.0, 1.0)
+    gy = jnp.clip(gny[None, :, None] + disp[..., 1], -1.0, 1.0)
+    return _sample_normalized_ac_false(x, gx, gy)
+
+
 def elastic_transform(key, x, kernel_size=63, sigma=32.0, alpha=1.0, p=0.7):
-    """kornia RandomElasticTransform defaults (main.py:184): smoothed noise field
-    displaces the sampling grid in normalized units."""
+    """kornia RandomElasticTransform defaults (main.py:184), exact kernel math
+    (see elastic_warp); per-sample p-gating like the kornia base class."""
     b, h, w, _ = x.shape
     k1, kp = jax.random.split(key)
     noise = jax.random.uniform(k1, (b, h, w, 2), minval=-1.0, maxval=1.0)
-    disp = _gaussian_blur(noise, kernel_size, sigma) * alpha
-    gx, gy = _base_grid(b, h, w)
-    sx = gx + disp[..., 0] * (w - 1) / 2.0
-    sy = gy + disp[..., 1] * (h - 1) / 2.0
-    return _apply_p(kp, p, grid_sample(x, sx, sy, "border"), x)
+    return _apply_p(kp, p, elastic_warp(x, noise, kernel_size, sigma, alpha), x)
 
 
-def thin_plate_spline(key, x, scale=0.3, p=0.7, grid_n=3):
-    """Approximate kornia RandomThinPlateSpline(scale) (main.py:186): RBF warp from
-    a grid_n x grid_n control grid with uniform(-scale, scale) displacements."""
+# ------------------------------------------------------------ thin plate spline
+
+_TPS_EPS = 1e-8
+
+
+def _tps_kernel(d2):
+    # kornia _kernel_distance: 0.5 * d^2 * log(d^2 + eps)  (== d^2 log d)
+    return 0.5 * d2 * jnp.log(d2 + _TPS_EPS)
+
+
+def _pair_sq_dist(a, b):
+    d = (
+        -2.0 * jnp.einsum("bnd,bmd->bnm", a, b)
+        + jnp.sum(a * a, -1)[:, :, None]
+        + jnp.sum(b * b, -1)[:, None, :]
+    )
+    return jnp.maximum(d, 0.0)  # kornia clamps at 0
+
+
+def get_tps_transform(points_src, points_dst):
+    """kornia 0.5.10 `get_tps_transform`: solve [K P; P^T 0][w; a] = [dst; 0]
+    with U(r) = r^2 log r at the src points. Returns (kernel_weights (B,N,2),
+    affine_weights (B,3,2)) — affine row 0 is the constant term."""
+    b, n = points_src.shape[:2]
+    k = _tps_kernel(_pair_sq_dist(points_src, points_src))  # (B,N,N)
+    one = jnp.ones((b, n, 1), points_src.dtype)
+    p = jnp.concatenate([one, points_src], -1)  # (B,N,3)
+    zeros33 = jnp.zeros((b, 3, 3), points_src.dtype)
+    l_top = jnp.concatenate([k, p], -1)  # (B,N,N+3)
+    l_bot = jnp.transpose(jnp.concatenate([p, zeros33], 1), (0, 2, 1))  # (B,3,N+3)
+    l_mat = jnp.concatenate([l_top, l_bot], 1)  # (B,N+3,N+3)
+    rhs = jnp.concatenate([points_dst, jnp.zeros((b, 3, 2), points_src.dtype)], 1)
+    weights = jnp.linalg.solve(l_mat, rhs)
+    return weights[:, :n], weights[:, n:]
+
+
+def warp_points_tps(points, kernel_centers, kernel_weights, affine_weights):
+    """f(v) = a0 + A v + sum_i w_i U(|v - c_i|), batched over (B,M,2) points."""
+    k = _tps_kernel(_pair_sq_dist(points, kernel_centers))  # (B,M,N)
+    return (
+        jnp.einsum("bmn,bnd->bmd", k, kernel_weights)
+        + jnp.einsum("bmd,bde->bme", points, affine_weights[:, 1:])
+        + affine_weights[:, None, 0]
+    )
+
+
+def tps_warp(x, src, dst):
+    """kornia 0.5.10 RandomThinPlateSpline.apply_transform exactly, INCLUDING its
+    upstream quirk (kornia issue #1186): weights are solved for the inverse map
+    with `dst` as the spline's source points, but evaluation passes `src` as the
+    kernel centers. Replicated verbatim for parity."""
     b, h, w, _ = x.shape
+    kernel_w, affine_w = get_tps_transform(dst, src)
+    gnx, gny = jnp.meshgrid(
+        jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32),
+        jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32),
+        indexing="xy",
+    )
+    coords = jnp.stack([gnx, gny], -1).reshape(1, h * w, 2)
+    coords = jnp.broadcast_to(coords, (b, h * w, 2))
+    warped = warp_points_tps(coords, src, kernel_w, affine_w).reshape(b, h, w, 2)
+    return _sample_normalized_ac_false(x, warped[..., 0], warped[..., 1])
+
+
+def thin_plate_spline(key, x, scale=0.3, p=0.7):
+    """kornia RandomThinPlateSpline(scale) (main.py:186), exact: 5 control points
+    (4 corners + center in normalized coords), dst = src + U(-scale, scale)."""
+    b = x.shape[0]
     k1, kp = jax.random.split(key)
-    cy, cx = np.meshgrid(
-        np.linspace(0, h - 1, grid_n), np.linspace(0, w - 1, grid_n), indexing="ij"
+    src = jnp.broadcast_to(
+        jnp.asarray(
+            [[-1.0, -1.0], [-1.0, 1.0], [1.0, -1.0], [1.0, 1.0], [0.0, 0.0]],
+            jnp.float32,
+        ),
+        (b, 5, 2),
     )
-    ctrl = jnp.asarray(np.stack([cx.ravel(), cy.ravel()], -1), jnp.float32)  # (K,2)
-    disp = jax.random.uniform(
-        k1, (b, grid_n * grid_n, 2), minval=-scale, maxval=scale
-    ) * jnp.asarray([w, h], jnp.float32) / 2.0
-    gx, gy = _base_grid(b, h, w)
-    d2 = (
-        (gx[..., None] - ctrl[None, None, None, :, 0]) ** 2
-        + (gy[..., None] - ctrl[None, None, None, :, 1]) ** 2
-    )
-    bw = (max(h, w) / grid_n) ** 2
-    weights = jnp.exp(-d2 / (2 * bw))  # (B,H,W,K)
-    weights = weights / (weights.sum(-1, keepdims=True) + 1e-8)
-    sx = gx + jnp.einsum("bhwk,bk->bhw", weights, disp[..., 0])
-    sy = gy + jnp.einsum("bhwk,bk->bhw", weights, disp[..., 1])
-    return _apply_p(kp, p, grid_sample(x, sx, sy, "border"), x)
+    dst = src + jax.random.uniform(k1, (b, 5, 2), minval=-scale, maxval=scale)
+    return _apply_p(kp, p, tps_warp(x, src, dst), x)
 
 
 def random_crop(key, x, size, p=0.5):

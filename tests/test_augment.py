@@ -210,3 +210,128 @@ class TestFusedGeometric:
             lambda im: jnp.sum(A.fused_affine_perspective(jax.random.PRNGKey(2), im))
         )(x)
         assert bool(jnp.isfinite(g).all())
+
+
+# --------------------------------------------------------- Et/Ts kornia parity
+#
+# kornia itself is not installed here, so the oracle vendors kornia 0.5.10's
+# elastic_transform2d / get_tps_transform / warp_image_tps math in torch (the
+# reference pins kornia==0.5.10, requirements.txt:9) — crucially driving torch's
+# REAL F.grid_sample/conv2d/linalg.solve kernels, which is where the fiddly
+# align_corners=False + zeros-padding semantics live.
+
+
+def _t_gauss1d(ksize, sigma):
+    xs = torch.arange(ksize, dtype=torch.float64) - ksize // 2
+    g = torch.exp(-(xs**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _t_meshgrid_norm(h, w):
+    """kornia create_meshgrid(normalized): align-corners linspace, xy order."""
+    ys, xs = torch.meshgrid(
+        torch.linspace(-1, 1, h, dtype=torch.float64),
+        torch.linspace(-1, 1, w, dtype=torch.float64),
+        indexing="ij",
+    )
+    return torch.stack([xs, ys], -1)  # (H,W,2)
+
+
+def _t_elastic(x_nhwc, noise_nhwc2, ksize, sigma, alpha):
+    x = torch.tensor(x_nhwc, dtype=torch.float64).permute(0, 3, 1, 2)
+    noise = torch.tensor(noise_nhwc2, dtype=torch.float64).permute(0, 3, 1, 2)
+    g1 = _t_gauss1d(ksize, sigma)
+    k2 = torch.outer(g1, g1)[None, None]
+    pad = ksize // 2
+    disp_x = torch.nn.functional.conv2d(noise[:, :1], k2, padding=pad) * alpha
+    disp_y = torch.nn.functional.conv2d(noise[:, 1:], k2, padding=pad) * alpha
+    h, w = x.shape[2:]
+    grid = _t_meshgrid_norm(h, w)[None]
+    disp = torch.cat([disp_x, disp_y], 1).permute(0, 2, 3, 1)
+    out = torch.nn.functional.grid_sample(
+        x, (grid + disp).clamp(-1, 1), mode="bilinear",
+        padding_mode="zeros", align_corners=False,
+    )
+    return out.permute(0, 2, 3, 1).numpy()
+
+
+def _t_pair_sq(a, b):
+    d = (
+        -2 * a @ b.transpose(1, 2)
+        + (a * a).sum(-1, keepdim=True)
+        + (b * b).sum(-1).unsqueeze(1)
+    )
+    return d.clamp(min=0)
+
+
+def _t_kd(d2):
+    return 0.5 * d2 * torch.log(d2 + 1e-8)
+
+
+def _t_tps(x_nhwc, src, dst):
+    """RandomThinPlateSpline.apply_transform: get_tps_transform(dst, src) then
+    warp_image_tps(input, src, ...) — kernel centers src, weights solved at dst."""
+    x = torch.tensor(x_nhwc, dtype=torch.float64).permute(0, 3, 1, 2)
+    src_t = torch.tensor(src, dtype=torch.float64)
+    dst_t = torch.tensor(dst, dtype=torch.float64)
+    bsz, n = dst_t.shape[:2]
+    k = _t_kd(_t_pair_sq(dst_t, dst_t))
+    one = torch.ones(bsz, n, 1, dtype=torch.float64)
+    p = torch.cat([one, dst_t], -1)
+    z33 = torch.zeros(bsz, 3, 3, dtype=torch.float64)
+    L = torch.cat([torch.cat([k, p], -1), torch.cat([p, z33], 1).transpose(1, 2)], 1)
+    rhs = torch.cat([src_t, torch.zeros(bsz, 3, 2, dtype=torch.float64)], 1)
+    wts = torch.linalg.solve(L, rhs)
+    kw, aw = wts[:, :n], wts[:, n:]
+    h, w = x.shape[2:]
+    coords = _t_meshgrid_norm(h, w).reshape(1, -1, 2).expand(bsz, -1, -1)
+    kk = _t_kd(_t_pair_sq(coords, src_t))
+    warped = kk @ kw + coords @ aw[:, 1:] + aw[:, :1]
+    out = torch.nn.functional.grid_sample(
+        x, warped.reshape(bsz, h, w, 2), mode="bilinear",
+        padding_mode="zeros", align_corners=False,
+    )
+    return out.permute(0, 2, 3, 1).numpy()
+
+
+class TestElasticTpsParity:
+    @pytest.mark.parametrize("ksize,sigma,alpha,hw", [(7, 2.0, 0.5, 16), (63, 32.0, 1.0, 64)])
+    def test_elastic_matches_kornia_math(self, rng, ksize, sigma, alpha, hw):
+        x = rng.uniform(size=(2, hw, hw, 3)).astype(np.float32)
+        noise = (rng.uniform(size=(2, hw, hw, 2)) * 2 - 1).astype(np.float32)
+        got = A.elastic_warp(jnp.asarray(x), jnp.asarray(noise), ksize, sigma, alpha)
+        want = _t_elastic(x, noise, ksize, sigma, alpha)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_tps_matches_kornia_math(self, rng):
+        x = rng.uniform(size=(2, 20, 20, 3)).astype(np.float32)
+        src = np.tile(
+            np.asarray(
+                [[-1, -1], [-1, 1], [1, -1], [1, 1], [0, 0]], np.float32
+            )[None],
+            (2, 1, 1),
+        )
+        dst = src + rng.uniform(-0.3, 0.3, size=src.shape).astype(np.float32)
+        got = A.tps_warp(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst))
+        want = _t_tps(x, src, dst)
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+    def test_tps_identity_controls_gives_identity_points(self, rng):
+        # dst == src must solve to zero kernel weights + identity affine; the
+        # IMAGE is still not bit-identical because kornia samples the
+        # align-corners meshgrid with align_corners=False (a slight zoom we
+        # replicate on purpose — the oracle parity test above covers it).
+        src = jnp.asarray(
+            [[[-1, -1], [-1, 1], [1, -1], [1, 1], [0, 0]]], jnp.float32
+        )
+        kw, aw = A.get_tps_transform(src, src)
+        pts = jnp.asarray(rng.uniform(-1, 1, size=(1, 17, 2)), jnp.float32)
+        warped = A.warp_points_tps(pts, src, kw, aw)
+        np.testing.assert_allclose(np.asarray(warped), np.asarray(pts), atol=1e-5)
+
+    def test_et_ts_differentiable(self, rng):
+        x = jnp.asarray(rng.uniform(size=(2, 12, 12, 3)), jnp.float32)
+        for code in ("Et", "Ts"):
+            fn = A.build_augment_pipeline([code], cut_size=12)[0]
+            g = jax.grad(lambda im: jnp.sum(fn(jax.random.PRNGKey(3), im)))(x)
+            assert bool(jnp.isfinite(g).all())

@@ -95,20 +95,47 @@ def ensure_on_mesh(mesh: Mesh, tree):
     return jax.tree.map(fix, tree)
 
 
-def mixer_param_sharding(mesh: Mesh, params):
-    """Tensor-parallel sharding rule for Mixer channel-mix FFNs over 'model':
-    fc1 kernel sharded on its output dim, fc2 on its input dim — the contraction
-    pattern that makes XLA insert a single all-reduce per block over ICI.
-    Everything else is replicated. No-op when the model axis has size 1."""
+# FFN kernels across every mapper family follow one of two patterns:
+#   column-parallel (in, hidden): shard the hidden/output dim; bias shards too
+#   row-parallel   (hidden, out): shard the hidden/input dim; bias replicated
+# fc1-sharded-out + fc2-sharded-in is the Megatron pairing that makes XLA
+# insert exactly ONE all-reduce per FFN over ICI.
+_COL_PARALLEL = {"channel_fc1", "linear1", "ff1"}  # mixer / vitgan / xtransformer
+_ROW_PARALLEL = {"channel_fc2", "linear2", "ff2"}
+
+
+def mapper_param_sharding(mesh: Mesh, params):
+    """Tensor-parallel sharding rule over 'model' for ALL mapper families:
+    Mixer channel-mix AND token-mix FFNs, VitGAN block MLPs, XTransformer block
+    FFNs (attention and embeddings stay replicated — they are a small fraction
+    of the FLOPs and sharding heads would reshard mid-attention). Everything
+    else is replicated. No-op when the model axis has size 1."""
     if mesh.shape["model"] == 1:
         return jax.tree.map(lambda _: replicated(mesh), params)
 
     def rule(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if "channel_fc1" in names and names[-1] == "kernel":
+        last = names[-1]
+        parent = names[-2] if len(names) >= 2 else ""
+        # mixer token mix: raw-array params (t1 (T,Et), t2 (Et,T), biases)
+        if last == "token_fc1":
             return NamedSharding(mesh, P(None, "model"))
-        if "channel_fc2" in names and names[-1] == "kernel":
+        if last == "token_fc1_bias":
+            return NamedSharding(mesh, P("model"))
+        if last == "token_fc2":
+            return NamedSharding(mesh, P("model", None))
+        # Dense-style FFNs
+        if parent in _COL_PARALLEL:
+            if last == "kernel":
+                return NamedSharding(mesh, P(None, "model"))
+            if last == "bias":
+                return NamedSharding(mesh, P("model"))
+        if parent in _ROW_PARALLEL and last == "kernel":
             return NamedSharding(mesh, P("model", None))
         return replicated(mesh)
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+# retained name: the round-1 rule covered only the mixer's channel-mix FFNs
+mixer_param_sharding = mapper_param_sharding

@@ -139,7 +139,16 @@ def warp_perspective_inverse(img, h_inv, padding_mode="zeros"):
 # returned as zeros.
 
 _WARP_VJP_MODE = os.environ.get("FFVC_WARP_VJP", "auto")  # auto | pallas | xla
+_WARP_FWD_MODE = os.environ.get("FFVC_WARP_FWD", "auto")  # auto | pallas | xla
 _WARP_INTERPRET = False  # tests flip this to exercise the kernel on CPU
+
+
+def _fast_fwd_enabled():
+    if _WARP_FWD_MODE == "xla":
+        return False
+    if _WARP_FWD_MODE == "pallas":
+        return True
+    return _fast_vjp_enabled()
 
 
 def _fast_vjp_enabled():
@@ -257,18 +266,60 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
     return jax.lax.cond(uncovered, slow, fast, gout).astype(img_sd.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective"):
-    """grid_sample with a projective (B, 3, 3) output->input map `m` and a
-    gather-only exact VJP. Forward numerics identical to
-    warp_perspective_inverse. `pad` (border mode) must statically bound the
-    out-of-frame sampling overshoot of the draw distribution — overshoot beyond
-    it is detected and routed to the exact XLA fallback."""
+def _pallas_forward(img, m, padding_mode, kind):
+    """MXU-contraction forward (ops/pallas/warp_forward.py), lax.cond-guarded
+    to the XLA gather on uncoverable draws. Same math as _proj_warp_math,
+    different rounding order (~1e-5)."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas.warp_forward import (
+        forward_plan,
+        pick_fwd_cand,
+        warp_forward,
+    )
+
+    b, h, w, c = img.shape
+    tile = next((t for t in (32, 16, 8) if h % t == 0), None)
+    if tile is None or h % 8 != 0:
+        return _proj_warp_math(img, m, padding_mode)
+    border = padding_mode == "border"
+    cand = pick_fwd_cand(tile, kind, w, h)
+    if cand < 8:
+        return _proj_warp_math(img, m, padding_mode)
+    origins, uncovered = forward_plan(m, h, (h, w), tile, cand, border)
+
+    def fast(im):
+        return warp_forward(
+            im, m, origins, out_hw=(h, w), tile=tile, cand=cand, border=border,
+            interpret=_WARP_INTERPRET,
+        )
+
+    def slow(im):
+        return _proj_warp_math(im, m, padding_mode).astype(jnp.float32)
+
+    return jax.lax.cond(
+        uncovered, slow, fast, img.astype(jnp.float32)
+    ).astype(img.dtype)
+
+
+def _dispatch_forward(img, m, padding_mode, kind):
+    if _fast_fwd_enabled():
+        return _pallas_forward(img, m, padding_mode, kind)
     return _proj_warp_math(img, m, padding_mode)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective"):
+    """grid_sample with a projective (B, 3, 3) output->input map `m`, a fast
+    MXU forward, and a gather-only exact VJP. Forward math identical to
+    warp_perspective_inverse (bit-identical when FFVC_WARP_FWD=xla; the Pallas
+    forward differs only in rounding order, ~1e-5). `pad` (border mode) must
+    statically bound the out-of-frame sampling overshoot of the draw
+    distribution — overshoot beyond it is detected and routed to the exact XLA
+    fallback."""
+    return _dispatch_forward(img, m, padding_mode, kind)
+
+
 def _warp_projective_fwd(img, m, padding_mode, pad, kind):
-    out = _proj_warp_math(img, m, padding_mode)
+    out = _dispatch_forward(img, m, padding_mode, kind)
     return out, (m, jax.ShapeDtypeStruct(img.shape, img.dtype))
 
 

@@ -93,8 +93,11 @@ def test_uncovered_draw_falls_back_exactly():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
 
 
-def test_forward_unchanged():
-    """warp_projective's forward must be the plain XLA grid-sample, bit-equal."""
+def test_forward_unchanged(monkeypatch):
+    """With FFVC_WARP_FWD=xla, warp_projective's forward must be the plain XLA
+    grid-sample, bit-equal (the Pallas forward is covered by
+    test_warp_forward.py and agrees to rounding order only)."""
+    monkeypatch.setattr(A, "_WARP_FWD_MODE", "xla")
     rng = np.random.default_rng(6)
     img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
     for mode, mats in (("zeros", _pe_mats(jax.random.PRNGKey(6), 2, 64, 64)),

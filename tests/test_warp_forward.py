@@ -1,0 +1,146 @@
+"""Exactness of the MXU-contraction forward warp (ops/pallas/warp_forward.py).
+
+The Pallas forward must match the XLA gather forward (same math, different
+rounding order) for zeros and border modes, affine and perspective families,
+including the lax.cond fallback on uncoverable draws. Runs the kernel in
+interpret mode on CPU.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feed_forward_vqgan_clip_tpu.ops import augment as A
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas_fwd(monkeypatch):
+    monkeypatch.setattr(A, "_WARP_FWD_MODE", "pallas")
+    monkeypatch.setattr(A, "_WARP_VJP_MODE", "xla")
+    monkeypatch.setattr(A, "_WARP_INTERPRET", True)
+
+
+def _rot_trans_mats(key, b, h, w, degrees=15.0, translate=0.1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
+    tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
+    inv = A._affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)
+    return A._affine3(inv)
+
+
+def _pe_mats(key, b, h, w, distortion=0.2):
+    base = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    half = jnp.asarray([w, h], jnp.float32) * (distortion / 2.0)
+    disp = jax.random.uniform(key, (b, 4, 2)) * half * signs
+    return A.solve_homography(base[None] + disp, jnp.broadcast_to(base, (b, 4, 2)))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_affine_forward_matches_gather(seed, mode):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = _rot_trans_mats(jax.random.PRNGKey(seed), 2, 64, 64)
+    got = A.warp_projective(img, m, mode, 0, "affine")
+    want = A.warp_perspective_inverse(img, m, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["zeros", "border"])
+def test_perspective_forward_matches_gather(mode):
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = _pe_mats(jax.random.PRNGKey(2), 2, 64, 64, distortion=0.3)
+    got = A.warp_projective(img, m, mode, 0, "projective")
+    want = A.warp_perspective_inverse(img, m, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_horizon_straddling_draw_is_exact():
+    """Projective uses the full-height row window, so even a horizon-straddling
+    homography is computed in-kernel (no fallback) and must match XLA."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    m = _pe_mats(jax.random.PRNGKey(5), 1, 64, 64, distortion=1.4)
+    got = A.warp_projective(img, m, "zeros", 0, "projective")
+    want = A.warp_perspective_inverse(img, m, "zeros")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_affine_overshoot_falls_back_to_gather():
+    """An affine draw rotated far beyond the 15-degree window bound must route
+    to the XLA forward via the coverage lax.cond and stay exact. 224px is the
+    smallest size where the affine window is narrower than the image."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(1, 224, 224, 1)), jnp.float32)
+    ang = jnp.asarray([80.0 * math.pi / 180.0])
+    inv = A._affine_inverse_about_center(ang, jnp.zeros((1,)), jnp.zeros((1,)),
+                                         jnp.ones((1,)), 224, 224)
+    m = A._affine3(inv)
+    from feed_forward_vqgan_clip_tpu.ops.pallas.warp_forward import (
+        forward_plan, pick_fwd_cand)
+    cand = pick_fwd_cand(32, "affine", 224, 224)
+    assert cand < 224
+    _, uncovered = forward_plan(m, 224, (224, 224), 32, cand, False)
+    assert bool(uncovered)
+    got = A.warp_projective(img, m, "zeros", 0, "affine")
+    want = A.warp_perspective_inverse(img, m, "zeros")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_rotation_zeros_forward():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    b = 2
+    ang = jax.random.uniform(jax.random.PRNGKey(6), (b,), minval=-0.3, maxval=0.3)
+    inv = A._affine_inverse_about_center(ang, jnp.zeros((b,)), jnp.zeros((b,)),
+                                         jnp.ones((b,)), 64, 64)
+    m = A._affine3(inv)
+    got = A.warp_projective(img, m, "zeros", 0, "affine")
+    want = A.warp_perspective_inverse(img, m, "zeros")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_aug_outputs_match_between_fwd_modes(monkeypatch):
+    """End-to-end random_affine + random_perspective outputs agree between the
+    Pallas forward and the XLA gather (same PRNG keys -> same draws)."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    def apply(im):
+        x = A.random_affine(key, im)
+        return A.random_perspective(jax.random.fold_in(key, 1), x, 0.2)
+
+    out_fast = apply(img)
+    monkeypatch.setattr(A, "_WARP_FWD_MODE", "xla")
+    out_ref = apply(img)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_grad_through_pallas_forward_matches(monkeypatch):
+    """Pallas forward + Pallas adjoint: gradient agrees with the all-XLA path."""
+    monkeypatch.setattr(A, "_WARP_VJP_MODE", "pallas")
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    m = _rot_trans_mats(jax.random.PRNGKey(9), 1, 64, 64)
+    pad = A._affine_pad(64, 64, 15.0, 0.1)
+
+    def loss(im):
+        return jnp.sum(A.warp_projective(im, m, "border", pad, "affine") * wts)
+
+    g_fast = jax.grad(loss)(img)
+    monkeypatch.setattr(A, "_WARP_FWD_MODE", "xla")
+    monkeypatch.setattr(A, "_WARP_VJP_MODE", "xla")
+    g_ref = jax.grad(loss)(img)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), atol=2e-4, rtol=1e-4
+    )

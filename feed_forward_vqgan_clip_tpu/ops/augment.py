@@ -162,13 +162,6 @@ def _fast_vjp_enabled():
         return False
 
 
-def _tile_for(h, w):
-    for t in (32, 16, 8):
-        if h % t == 0 and w % t == 0:
-            return t
-    return None
-
-
 def _proj_warp_math(img, m, padding_mode):
     return warp_perspective_inverse(img, m, padding_mode)
 
@@ -180,85 +173,47 @@ def _xla_adjoint(gout, m, img_sd, padding_mode):
     return gimg
 
 
-def _pad_transform(m, pad):
-    """Shift the map into replicate-padded coords: s_pad(q) = s(q) + pad."""
-    shift = jnp.zeros_like(m).at[:, 0, :].set(m[:, 2, :] * pad).at[:, 1, :].set(
-        m[:, 2, :] * pad
-    )
-    return m + shift
-
-
-def _fold_replicate(gp, pad_lo, h, w):
-    """Adjoint of replicate-padding: collapse pad-strip gradients onto the
-    border pixels (img_pad[y, x] = img[clip(y - pad, 0, h - 1), ...])."""
-    top = gp[:, :pad_lo].sum(axis=1)
-    bot = gp[:, pad_lo + h:].sum(axis=1)
-    core = gp[:, pad_lo : pad_lo + h]
-    core = core.at[:, 0].add(top).at[:, -1].add(bot)
-    left = core[:, :, :pad_lo].sum(axis=2)
-    right = core[:, :, pad_lo + w:].sum(axis=2)
-    core = core[:, :, pad_lo : pad_lo + w]
-    return core.at[:, :, 0].add(left).at[:, :, -1].add(right)
-
-
-def _s_field(m, oh, ow):
-    gx, gy = _base_grid(m.shape[0], oh, ow)
-    den = m[:, 2, 0, None, None] * gx + m[:, 2, 1, None, None] * gy + m[:, 2, 2, None, None]
-    den = jnp.where(jnp.abs(den) < 1e-8, jnp.where(den < 0, -1e-8, 1e-8), den)
-    sx = (m[:, 0, 0, None, None] * gx + m[:, 0, 1, None, None] * gy + m[:, 0, 2, None, None]) / den
-    sy = (m[:, 1, 0, None, None] * gx + m[:, 1, 1, None, None] * gy + m[:, 1, 2, None, None]) / den
-    return sx, sy
-
-
 def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
-    """Exact grad via the gather kernel, lax.cond-guarded to the XLA transpose."""
+    """Exact grad via the gather kernel, lax.cond-guarded to the XLA transpose.
+
+    border mode is handled by in-kernel coordinate clamping (grid_sample's
+    border padding IS coordinate clamping — both bilinear taps of an
+    out-of-frame sample collapse onto the border pixel with weights summing
+    to 1), so no frame padding or gradient fold is needed and `pad` is
+    advisory only. border/projective take the full-output row window, making
+    coverage unconditional; only the zeros-affine family uses a narrower
+    window with a planned fallback."""
     from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import (
         adjoint_plan,
         pick_cand,
+        pick_tile,
         warp_adjoint,
     )
 
     b, h, w, c = img_sd.shape
     oh, ow = gout.shape[1:3]
     gout = gout.astype(jnp.float32)
+    border = padding_mode == "border"
 
-    if padding_mode == "zeros":
-        h_eff, w_eff, m_eff, pad_lo = h, w, m, 0
-        extra_uncov = jnp.bool_(False)
-    else:  # border -> zeros-mode adjoint in replicate-padded coordinates
-        # always pad the frame out to 32-row bands: tile=8 frames mean 4x the
-        # bands at 1/4 MXU sublane occupancy (measured 782 ms vs 631 ms XLA at
-        # train shapes before this; extra pad rows are free — their hats are
-        # zero and the fold adds exact zeros)
-        tile0 = 32
-        pad_hi_h = pad + (-(h + 2 * pad)) % tile0
-        pad_hi_w = pad + (-(w + 2 * pad)) % tile0
-        h_eff, w_eff = h + pad + pad_hi_h, w + pad + pad_hi_w
-        m_eff, pad_lo = _pad_transform(m, pad), pad
-        # equivalence with true border sampling requires no tap beyond the pad
-        sx, sy = _s_field(m, oh, ow)
-        extra_uncov = jnp.any(
-            (sx < -pad + 1) | (sx > w - 2 + pad) | (sy < -pad + 1) | (sy > h - 2 + pad)
-        )
-
-    tile = _tile_for(h_eff, w_eff)
-    if tile is None or oh % 8 != 0:
+    if oh % 8 != 0:
         return _xla_adjoint(gout, m, img_sd, padding_mode)
-    cand = pick_cand(tile, kind, w_eff, oh)
+    full = (oh // 8) * 8
+    tile, ck = pick_tile(h, w, ow, c, full)
+    if tile is None:
+        return _xla_adjoint(gout, m, img_sd, padding_mode)
+    cand = pick_cand(tile, kind, w, oh, border)
     if cand < 8:
         return _xla_adjoint(gout, m, img_sd, padding_mode)
+    if cand < full:
+        tile, ck = pick_tile(h, w, ow, c, cand)
 
-    origins, uncovered = adjoint_plan(m_eff, (h_eff, w_eff), (oh, ow), tile, cand)
-    uncovered = uncovered | extra_uncov
+    origins, uncovered = adjoint_plan(m, (h, w), (oh, ow), tile, cand)
 
     def fast(g):
-        gp = warp_adjoint(
-            g, m_eff, origins, in_hw=(h_eff, w_eff), tile=tile, cand=cand,
-            interpret=_WARP_INTERPRET,
+        return warp_adjoint(
+            g, m, origins, in_hw=(h, w), tile=tile, cand=cand, border=border,
+            ck=ck, interpret=_WARP_INTERPRET,
         )
-        if padding_mode == "zeros":
-            return gp
-        return _fold_replicate(gp, pad_lo, h, w)
 
     def slow(g):
         return _xla_adjoint(g, m, img_sd, padding_mode).astype(jnp.float32)
@@ -311,10 +266,11 @@ def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective"):
     """grid_sample with a projective (B, 3, 3) output->input map `m`, a fast
     MXU forward, and a gather-only exact VJP. Forward math identical to
     warp_perspective_inverse (bit-identical when FFVC_WARP_FWD=xla; the Pallas
-    forward differs only in rounding order, ~1e-5). `pad` (border mode) must
-    statically bound the out-of-frame sampling overshoot of the draw
-    distribution — overshoot beyond it is detected and routed to the exact XLA
-    fallback."""
+    forward differs only in rounding order, ~1e-5). `pad` is unused (border
+    mode is exact via in-kernel coordinate clamping — no overshoot bound
+    needed); kept in the signature for call-site stability. Fallbacks to the
+    XLA gather/transpose remain only for the narrow-window zeros-affine
+    adjoint plan and non-8-multiple shapes."""
     return _dispatch_forward(img, m, padding_mode, kind)
 
 

@@ -28,10 +28,20 @@ MXU contractions instead:
     (ops/augment.warp_projective). With CAND = Ho (the default for projective
     draws) row coverage is total and only the horizon check remains.
 
-Zeros-padding semantics only: hats vanish outside the frame, matching
-grid_sample's zeros mode. Border mode is reduced to zeros mode by the caller
-(replicate-pad the *coordinate frame* and fold the pad gradients back — see
-ops/augment._pallas_adjoint).
+Padding modes: zeros-mode hats vanish outside the frame, matching
+grid_sample's zeros mode. border mode CLAMPS the sample coordinates into the
+frame before building the hats — grid_sample's border padding is exactly
+coordinate clamping (out-of-frame samples collapse both bilinear taps onto the
+border pixel with weights summing to 1), so the clamped adjoint equals the
+true border adjoint with no frame padding and no gradient fold. With
+border=True the caller must pass cand covering the full output (clamping
+invalidates the corner-based row bound), which pick_cand does.
+
+Band height (tile): the contraction's M dim IS the band height, so tile=32
+ran the MXU at 25% row occupancy and rebuilt the (Q, W) hx factor cand/tile
+times over. Total contraction FLOPs are tile-invariant; measured at train
+shapes (B=64, 224px, cand=224): tile 32 -> 120.7 ms, 56 -> 74.6, 112 -> 55.8,
+224 -> 48.2. Callers pick the largest VMEM-feasible divisor (_pick_tile).
 """
 
 import functools
@@ -65,6 +75,13 @@ def adjoint_plan(m, in_hw, out_hw, tile, cand):
     t = tile
     nty = h // t
     b = m.shape[0]
+    if cand >= ho:
+        # the row window holds the ENTIRE output grad: every output pixel's
+        # contribution is summed in-kernel whatever the map does (horizon
+        # crossings sample far out of frame and get zero hat weight), so
+        # coverage is unconditional. Required for border=True (clamping breaks
+        # the corner bound below); automatic for projective (pick_cand).
+        return jnp.zeros((b * nty,), jnp.int32), jnp.asarray(False)
     m_inv = jnp.linalg.inv(m.astype(jnp.float32))  # input->output
 
     # band hat-support corners: s in (-1, w) x (y0-1, y0+t), full width
@@ -86,7 +103,8 @@ def adjoint_plan(m, in_hw, out_hw, tile, cand):
     return oy8.reshape(-1), uncovered_any
 
 
-def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand, c, w, ck):
+def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
+            c, h, w, ck, border):
     b = pl.program_id(0)
     ty = pl.program_id(1)
     nty = pl.num_programs(1)
@@ -130,6 +148,10 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand, 
         den = jnp.where(jnp.abs(den) < 1e-8, jnp.where(den < 0, -1e-8, 1e-8), den)
         sx = jnp.clip((m00 * qxf + m01 * qyf + m02) / den, -1e6, 1e6)
         sy = jnp.clip((m10 * qxf + m11 * qyf + m12) / den, -1e6, 1e6)
+        if border:
+            # grid_sample border padding == clamp coords, then bilinear taps
+            sx = jnp.clip(sx, 0.0, w - 1.0)
+            sy = jnp.clip(sy, 0.0, h - 1.0)
 
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - py))  # (CK, Wo, T)
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - px))  # (CK, Wo, W)
@@ -159,20 +181,26 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand, 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("in_hw", "tile", "cand", "interpret")
+    jax.jit,
+    static_argnames=("in_hw", "tile", "cand", "border", "ck", "interpret"),
 )
-def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, interpret=False):
-    """grad_img (B, H, W, C) f32 = adjoint of zeros-mode bilinear projective
-    sampling, given output-grads g (B, Ho, Wo, C) and per-band row origins
-    from `adjoint_plan`. Only exact when adjoint_plan said covered — callers
-    cond to the XLA transpose otherwise."""
+def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, border=False,
+                 ck=None, interpret=False):
+    """grad_img (B, H, W, C) f32 = adjoint of bilinear projective sampling
+    (zeros mode, or border mode via in-kernel coordinate clamping), given
+    output-grads g (B, Ho, Wo, C) and per-band row origins from
+    `adjoint_plan`. Only exact when adjoint_plan said covered — callers cond
+    to the XLA transpose otherwise. border=True requires cand >= Ho."""
     b, ho, wo, c = g.shape
     h, w = in_hw
     t = tile
     assert h % t == 0, (in_hw, t)
     assert cand % 8 == 0 and cand <= ho and ho % 8 == 0, (cand, ho)
+    assert not border or cand >= ho, (border, cand, ho)
     nty = h // t
-    ck = 32 if cand % 32 == 0 else (16 if cand % 16 == 0 else 8)
+    if ck is None:
+        ck = 32 if cand % 32 == 0 else (16 if cand % 16 == 0 else 8)
+    assert cand % ck == 0, (cand, ck)
     mats = m.astype(jnp.float32).reshape(b, 9)
     gt = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, Ho, Wo)
     # Mosaic DMA slices must be 128-aligned on the lane dim even when taking
@@ -196,7 +224,8 @@ def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, interpret=False):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, tile=t, cand=cand, c=c, w=w, ck=ck),
+        functools.partial(_kernel, tile=t, cand=cand, c=c, h=h, w=w, ck=ck,
+                          border=border),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -207,14 +236,44 @@ def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, interpret=False):
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def pick_cand(tile, kind, in_w, out_h):
-    """Static row-window size per warp family (see module docstring)."""
+def pick_cand(tile, kind, in_w, out_h, border=False):
+    """Static row-window size per warp family (see module docstring).
+    border mode always takes the full window (coordinate clamping voids the
+    corner-based row bound, and full windows make coverage unconditional)."""
     full = (out_h // 8) * 8
-    if kind == "affine":
+    if kind == "affine" and not border:
         # rotation <= 15 deg + translate: preimage rows of a full-width band
         # extend <= (t+2)cos(15) + (w+2)sin(15); +8 alignment +8 safety
         need = (tile + 2) * np.cos(np.radians(15.0)) + (in_w + 2) * np.sin(
             np.radians(15.0)
         ) + 16
         return min(int(np.ceil(need / 32) * 32), full)  # 32-mult -> bigger CK
-    return full  # projective families: total row coverage, no fallback
+    return full  # projective/border: total row coverage, no fallback
+
+
+def _rnd128(n):
+    return -(-n // 128) * 128
+
+
+def pick_tile(h, w, ow, c, cand, budget_bytes=48 * 1024 * 1024):
+    """Largest 8-multiple divisor of the input height whose kernel VMEM
+    footprint fits the budget (the contraction's M dim is the band height:
+    small bands under-occupy MXU rows and rebuild hx cand/tile times — see
+    module docstring). Returns (tile, ck) or (None, None)."""
+    if h % 8 != 0:
+        return None, None
+    for t in range(h, 7, -8):
+        if h % t:
+            continue
+        for ck in (32, 16, 8):
+            if cand % ck:
+                continue
+            est = 4 * (
+                c * cand * _rnd128(ow)        # g row window (scratch)
+                + 2 * c * t * _rnd128(w)      # fori accs + out block
+                + ck * ow * _rnd128(t)        # hy
+                + 2 * ck * ow * _rnd128(w)    # hx + per-channel hyg
+            )
+            if est <= budget_bytes:
+                return t, ck
+    return None, None

@@ -126,3 +126,46 @@ def test_aug_grads_match_between_modes(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_ref), atol=2e-4, rtol=1e-4
     )
+
+
+def test_border_far_overshoot_exact():
+    """Border mode via in-kernel clamping needs no overshoot bound: a huge
+    translation (most samples far outside the frame, all clamped onto the
+    border pixels) must still match the XLA transpose exactly."""
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    b = 1
+    inv = A._affine_inverse_about_center(
+        jnp.asarray([0.2]), jnp.asarray([55.0]), jnp.asarray([-60.0]),
+        jnp.ones((b,)), 64, 64)
+    m = A._affine3(inv)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    got, want = _grads(img, m, "border", 0, "affine", wts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_nonsquare_shapes_adjoint_exact():
+    """Odd (8-multiple) non-square frames pick a non-default band height and
+    must stay exact, zeros and border."""
+    rng = np.random.default_rng(10)
+    img = jnp.asarray(rng.normal(size=(2, 72, 88, 3)), jnp.float32)
+    m = _rot_trans_mats(jax.random.PRNGKey(10), 2, 72, 88)
+    wts = jnp.asarray(rng.normal(size=img.shape), jnp.float32)
+    for mode in ("zeros", "border"):
+        got, want = _grads(img, m, mode, 0, "affine", wts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_pick_tile_properties():
+    from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import pick_tile
+
+    t, ck = pick_tile(224, 224, 224, 3, 224)
+    assert t == 224 and 224 % ck == 0
+    t, ck = pick_tile(72, 88, 88, 3, 72)
+    assert t == 72 and 72 % ck == 0
+    # non-8-multiple height is rejected
+    assert pick_tile(225, 224, 224, 3, 224) == (None, None)
+    # a tiny budget forces smaller bands but still returns a divisor
+    t, ck = pick_tile(224, 224, 224, 3, 224, budget_bytes=6 * 1024 * 1024)
+    assert t is not None and 224 % t == 0 and t < 224

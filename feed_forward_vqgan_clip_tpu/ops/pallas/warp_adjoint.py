@@ -41,16 +41,53 @@ Band height (tile): the contraction's M dim IS the band height, so tile=32
 ran the MXU at 25% row occupancy and rebuilt the (Q, W) hx factor cand/tile
 times over. Total contraction FLOPs are tile-invariant; measured at train
 shapes (B=64, 224px, cand=224): tile 32 -> 120.7 ms, 56 -> 74.6, 112 -> 55.8,
-224 -> 48.2. Callers pick the largest VMEM-feasible divisor (_pick_tile).
+224 -> 48.2. Callers pick the largest VMEM-feasible divisor (pick_tile).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# TPU dots at DEFAULT precision truncate f32 operands to bf16 (rel err ~4e-3
+# — measured 5e-2 absolute grad error vs an f64 oracle at train shapes), so
+# the hat contractions need an f32-quality scheme. Modes:
+#   bf16x3  — (default) manual 3-pass split-operand decomposition
+#             a_hi@b_hi + a_hi@b_lo + a_lo@b_hi at DEFAULT precision: drops
+#             only the lo@lo term (~2^-16 rel per product), halving MXU time
+#             vs HIGHEST. Measured vs the f64 oracle at train shapes the
+#             decomposition is error-NEUTRAL (affine 3.496e-4 vs 3.510e-4 at
+#             HIGHEST vs 3.520e-4 for the XLA scatter; projective 2.201e-4 vs
+#             2.210e-4 both) — f32 accumulation order dominates — while the
+#             per-warp value_and_grad drops 75.5->41.5 ms (Af) / 95.3->55.0 ms
+#             (Pe);
+#   highest — jax.lax.Precision.HIGHEST, 6 MXU passes (Mosaic rejects HIGH).
+_DOT_MODE = os.environ.get("FFVC_WARP_DOT_PRECISION", "bf16x3")
+assert _DOT_MODE in ("highest", "bf16x3"), _DOT_MODE
+
+
+def _mxu_dot(a, b, dims):
+    """f32-quality dot for the hat contractions (see _DOT_MODE)."""
+    if _DOT_MODE == "bf16x3":
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32
+            )
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _proj(m, x, y):
@@ -161,15 +198,11 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
         for cc in range(c):
             gc = win_ref[cc, pl.ds(k * ck, ck), :].astype(jnp.float32)
             hyg = hy * gc.reshape(ck, wo, 1)
-            # HIGHEST: TPU dots at DEFAULT precision truncate f32 operands to
-            # bf16 (rel err ~4e-3) — measured 5e-2 absolute grad error vs an
-            # f64 oracle at train shapes, 100x noisier than the XLA scatter.
-            out.append(accs[cc] + jax.lax.dot_general(
+            # _mxu_dot: f32-quality contraction (see _DOT_MODE above)
+            out.append(accs[cc] + _mxu_dot(
                 hyg.reshape(q, t),
                 hx.reshape(q, w),
                 (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
             ))
         return tuple(out)
 

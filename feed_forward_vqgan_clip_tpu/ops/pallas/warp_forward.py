@@ -28,10 +28,11 @@ computes the same bilinear sample as dense separable hat contractions instead:
     horizon; callers lax.cond to the XLA gather forward on those draws
     (ops/augment.warp_projective), so the composite is always exact-math.
 
-Numerics: hats and pixels are f32 and the contraction runs at
-Precision.HIGHEST (DEFAULT TPU dots truncate f32 operands to bf16 — measured
-5e-2 error on the adjoint before the same fix). Output matches the XLA gather
-forward to ~1e-5 absolute (rounding order differs; the math is identical).
+Numerics: hats and pixels are f32 and the contraction runs through
+warp_adjoint._mxu_dot (bf16x3 split-operand decomposition by default; DEFAULT
+TPU dots truncate f32 operands to bf16 — measured 5e-2 error on the adjoint
+before that fix). Output matches the XLA gather forward to ~1e-5 absolute
+(rounding order differs; the math is identical).
 """
 
 import functools
@@ -42,7 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import _proj
+from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import _mxu_dot, _proj
 
 
 def forward_plan(m, in_h, out_hw, tile, cand, border):
@@ -129,13 +130,11 @@ def _kernel(origins_ref, mats_ref, img_ref, out_ref, win_ref, sem, *,
 
     dma.wait()
     for cc in range(c):
-        # HIGHEST: see module docstring (DEFAULT truncates f32 to bf16)
-        tmp = jax.lax.dot_general(
+        # _mxu_dot: f32-quality contraction (see warp_adjoint._DOT_MODE)
+        tmp = _mxu_dot(
             hyq,
             win_ref[cc].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # (Q, Wp)
         out_ref[0, cc] = jnp.sum(hxq * tmp, axis=1).reshape(t, wo)
 

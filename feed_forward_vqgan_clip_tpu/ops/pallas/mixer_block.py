@@ -99,14 +99,20 @@ def _block_kernel(
     r = x.astype(dtype) + h2
 
     # channel mixing -------------------------------------------------------
+    # (software-pipelining the FF over Ec chunks — FF1 of chunk k+1 issued
+    # before GELU of chunk k — measured perf-NEUTRAL at 0/2048/1024/512 chunk
+    # sizes: Mosaic already extracts the available MXU/VPU overlap, the stage
+    # is VPU-bound on LN+GELU. Experiment removed; see BENCH_NOTES.md.)
     rn = lean_layer_norm(r, ln2s_ref[:], ln2b_ref[:], dtype)  # (T, D)
     h3 = jax.lax.dot_general(
-        rn, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rn, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dtype)  # (T, Ec)
     h3 = h3 + b1_ref[:].astype(dtype)  # (1, Ec)
     g3 = _gelu_exact(h3, dtype)
     h4 = jax.lax.dot_general(
-        g3, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g3, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dtype)  # (T, D)
     h4 = h4 + b2_ref[:].astype(dtype)  # (1, D)
     out_ref[0] = r + h4

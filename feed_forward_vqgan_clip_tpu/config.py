@@ -70,7 +70,9 @@ DEFAULTS: Dict[str, Any] = {
     # TPU-framework extensions (absent from the reference)
     "vgg_path": None,  # VGG16 weights for the diversity loss (torch or msgpack)
     "noise_fac": 0.1,  # cutout additive-noise factor (hardcoded 0.1 in the reference, main.py:202)
-    "fuse_geometric": False,  # compose Af+Pe into one resample (~2x train step; opt-in)
+    "fuse_geometric": False,  # compose Af+Pe into one resample (numerically
+    # deviating, opt-in; largely obsolete — the Pallas warp kernels make the
+    # exact default chain faster than this path was, see BENCH_NOTES.md)
     "vqgan_arch": None,  # inline ddconfig-style dict (smoke configs)
     "compute_dtype": "bfloat16",
     "seed": 0,

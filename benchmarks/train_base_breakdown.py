@@ -60,10 +60,10 @@ timed("mapper fwd+bwd (B=8)", mapper_chain, mparams, emb)
 z0 = jax.random.normal(jax.random.PRNGKey(3), (bs, 16, 16, 256), dtype)
 
 
-def dec_chain(z):
+def dec_chain(p, z):
     def body(carry, _):
         def loss(zz):
-            img = vq.apply(vq_params, zz + carry.astype(zz.dtype))
+            img = vq.apply(p, zz + carry.astype(zz.dtype))
             return jnp.float32((img.astype(jnp.float32) ** 2).sum())
         v, g = jax.value_and_grad(loss)(z)
         return v * 1e-12, None
@@ -71,15 +71,18 @@ def dec_chain(z):
     return total
 
 
-timed("vqgan decode fwd+bwd (B=8)", dec_chain, z0)
+timed("vqgan decode fwd+bwd (B=8)", dec_chain, vq_params, z0)
 
 crops = jax.random.normal(jax.random.PRNGKey(4), (bs * cutn, 224, 224, 3), dtype)
 
 
-def clip_chain(x):
+def clip_chain(p, x):
+    # params as ARGUMENTS, not closure constants: captured pytrees are baked
+    # into the HLO as literals and blow the remote-compile request size
     def body(carry, _):
         def loss(xx):
-            e = perceptor.encode_image(xx + carry.astype(xx.dtype))
+            e = perceptor.module.apply(p, xx + carry.astype(xx.dtype),
+                                       method=perceptor.module.encode_image)
             return jnp.float32((e.astype(jnp.float32) ** 2).sum())
         v, g = jax.value_and_grad(loss)(x)
         return v * 1e-12, None
@@ -87,5 +90,5 @@ def clip_chain(x):
     return total
 
 
-timed("CLIP encode fwd+bwd (64 crops)", clip_chain, crops)
+timed("CLIP encode fwd+bwd (64 crops)", clip_chain, perceptor.params, crops)
 print("OK")

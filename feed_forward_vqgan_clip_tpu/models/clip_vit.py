@@ -96,6 +96,38 @@ class Transformer(nn.Module):
         return x
 
 
+class PatchEmbed(nn.Module):
+    """Stride-p patchify as reshape+matmul instead of nn.Conv.
+
+    Identical math and parameter layout (HWIO `kernel`, path `conv1/kernel`)
+    to the non-overlapping nn.Conv the reference's conv1 is — but a 3-channel
+    stride-32 conv and especially its input-gradient lower pathologically on
+    TPU (~21 ms of a 35.6 ms CLIP fwd+bwd at train shapes, see
+    BENCH_NOTES.md); the matmul form is a (B*49, 3072) @ (3072, 768) MXU op
+    with a transpose, forward and backward."""
+
+    width: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        p = self.patch
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, c, self.width),
+            jnp.float32,
+        )
+        xp = (
+            x.reshape(b, hh // p, p, ww // p, p, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, (hh // p) * (ww // p), p * p * c)
+        )
+        return xp @ k.reshape(p * p * c, self.width).astype(x.dtype)
+
+
 class VisionTransformer(nn.Module):
     image_size: int = 224
     patch_size: int = 32
@@ -110,15 +142,9 @@ class VisionTransformer(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, 3) CLIP-normalized -> (B, embed_dim)."""
         b = x.shape[0]
-        h = nn.Conv(
-            self.width,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x.astype(self.dtype))
-        h = h.reshape(b, -1, self.width)  # (B, grid*grid, width)
+        h = PatchEmbed(self.width, self.patch_size, self.dtype, name="conv1")(
+            x.astype(self.dtype)
+        )  # (B, grid*grid, width)
 
         cls = self.param(
             "class_embedding", nn.initializers.normal(0.02), (self.width,), jnp.float32

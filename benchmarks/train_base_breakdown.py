@@ -1,5 +1,7 @@
 """TPU drive: isolate the non-warp train-step base (mapper / decoder / CLIP
 fwd+bwd) with chained value_and_grad timings at train shapes."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax
@@ -50,7 +52,8 @@ def mapper_chain(p, e):
             z = mapper.apply(pp, e + carry.astype(e.dtype))
             return jnp.float32((z.astype(jnp.float32) ** 2).sum())
         v, g = jax.value_and_grad(loss)(p)
-        return v * 1e-12, None
+        # consume the grads: an unused g lets XLA DCE the entire backward
+        return v * 1e-12 + jnp.float32(sum(jnp.sum(x) for x in jax.tree.leaves(g))) * 1e-12, None
     total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
     return total
 
@@ -66,7 +69,7 @@ def dec_chain(p, z):
             img = vq.apply(p, zz + carry.astype(zz.dtype))
             return jnp.float32((img.astype(jnp.float32) ** 2).sum())
         v, g = jax.value_and_grad(loss)(z)
-        return v * 1e-12, None
+        return v * 1e-12 + jnp.float32(g.sum()) * 1e-12, None
     total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
     return total
 
@@ -85,7 +88,7 @@ def clip_chain(p, x):
                                        method=perceptor.module.encode_image)
             return jnp.float32((e.astype(jnp.float32) ** 2).sum())
         v, g = jax.value_and_grad(loss)(x)
-        return v * 1e-12, None
+        return v * 1e-12 + jnp.float32(g.sum()) * 1e-12, None
     total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
     return total
 

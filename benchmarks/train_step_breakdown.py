@@ -1,4 +1,6 @@
 """TPU drive: train-step time vs aug subset, isolating warp vs non-warp cost."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -5,6 +5,8 @@ and rebuilds hx (the big hat factor) cand/tile times redundantly; total
 contraction FLOPs are tile-invariant, so bigger bands should be strictly
 faster until VMEM pressure bites.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -1,4 +1,6 @@
 """Compare pallas-f32 and xla-f32 warp adjoints against a numpy f64 ground truth."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import math
 import jax, jax.numpy as jnp, numpy as np
 from feed_forward_vqgan_clip_tpu.utils import enable_compilation_cache

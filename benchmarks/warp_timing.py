@@ -3,6 +3,8 @@
 Checks grad exactness vs the XLA scatter transpose and times fwd+bwd for the
 two default-chain warp families at train shapes.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import math
 import time
 

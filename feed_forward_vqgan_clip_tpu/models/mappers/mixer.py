@@ -13,11 +13,19 @@ land on the MXU with (S^2 x dim) operands. All shapes are static; the whole mapp
 fuses into one XLA module.
 """
 
+import os
 from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# Rematerialize mixer blocks in the backward pass instead of storing their
+# hidden intermediates (~17 MB/block at train shapes). Measured perf-NEUTRAL
+# on the flagship train step (198.5 vs 197.6 ms) — kept as a MEMORY knob for
+# configs whose activations don't fit (e.g. larger batch x 512px), not a
+# speed lever. Gradients are bit-identical to the plain path (tested).
+_MIXER_REMAT = os.environ.get("FFVC_MIXER_REMAT", "0") not in ("", "0", "false")
 
 
 def lean_layer_norm(x, scale, bias, dtype):
@@ -124,8 +132,11 @@ class Mixer(nn.Module):
         # channel-major view quirk (mlp_mixer_pytorch.py:86): (B, C, S, S) -> tokens
         h = h.reshape(b, c, s, s).transpose(0, 2, 3, 1).reshape(b, s * s, c)
         h = nn.Dense(self.dim, dtype=self.dtype, name="embed")(h)
+        block_cls = (
+            nn.remat(MixerBlock, static_argnums=(2,)) if _MIXER_REMAT else MixerBlock
+        )
         for i in range(self.depth):
-            h = MixerBlock(
+            h = block_cls(
                 tokens=s * s,
                 dim=self.dim,
                 expansion=self.expansion,

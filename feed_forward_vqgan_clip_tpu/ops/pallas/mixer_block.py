@@ -176,6 +176,10 @@ def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
             * itemsize,
             transcendentals=b * (t * ec + et * d),
         ),
+        # weight-resident blocks need ~20 MB scoped VMEM at flagship size; the
+        # default 16 MB limit compiles at batch 64 but OOMs the batch-1
+        # (latency/serving) pipeline
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 

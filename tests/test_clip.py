@@ -222,3 +222,28 @@ class TestConverterRoundtrip:
         }
         got = ti.convert_clip_vit(custom)
         assert jax.tree.all(jax.tree.map(np.array_equal, got, want))
+
+
+class TestPatchEmbed:
+    def test_matches_nn_conv(self):
+        """The reshape+matmul patchify must equal the stride-p nn.Conv it
+        replaced (same HWIO kernel), including non-square frames."""
+        import flax.linen as nn
+
+        from feed_forward_vqgan_clip_tpu.models.clip_vit import PatchEmbed
+
+        rng = np.random.default_rng(0)
+        for (h, w, p, width) in ((64, 64, 32, 16), (64, 96, 16, 8)):
+            x = jnp.asarray(rng.normal(size=(2, h, w, 3)), jnp.float32)
+            pe = PatchEmbed(width, p, jnp.float32)
+            params = pe.init(jax.random.PRNGKey(1), x)
+            conv = nn.Conv(width, (p, p), strides=(p, p), use_bias=False,
+                           dtype=jnp.float32)
+            got = pe.apply(params, x)
+            want = conv.apply(
+                {"params": {"kernel": params["params"]["kernel"]}}, x
+            ).reshape(2, -1, width)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+            )
+            assert params["params"]["kernel"].shape == (p, p, 3, width)

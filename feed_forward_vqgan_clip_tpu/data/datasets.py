@@ -58,14 +58,51 @@ def save_tokens(tokens: np.ndarray, out: str):
 
 
 def shard_for_process(n: int, process_index: int, process_count: int) -> np.ndarray:
-    """Deterministic per-host index shard (replaces DistributedSampler,
-    main.py:669-673): contiguous strided split, padded by wraparound so every host
-    sees the same number of samples."""
+    """Deterministic per-host index shard: contiguous strided split, padded by
+    wraparound so every host sees the same number of samples. Epoch-INVARIANT —
+    use `epoch_shard_batches` for training-loop sharding (DistributedSampler
+    parity needs a fresh global permutation each epoch); this stays for
+    one-shot splits (preprocessing-style sharding, local counts)."""
     idx = np.arange(process_index, n, process_count)
     per = -(-n // process_count)
     if len(idx) < per:
         idx = np.concatenate([idx, idx[: per - len(idx)]])
     return idx
+
+
+def epoch_shard_batches(
+    n: int,
+    batch_size: int,
+    *,
+    seed: int,
+    epoch: int,
+    process_index: int = 0,
+    process_count: int = 1,
+    drop_last: bool = False,
+):
+    """DistributedSampler-parity per-epoch sharded batches (main.py:669-673,
+    713-714): a GLOBAL permutation seeded by (seed, epoch), wraparound-padded
+    to process_count-divisible, then strided across processes — so every host
+    draws a different subset each epoch (the union of all hosts' batches covers
+    the dataset exactly once, modulo the <process_count pad rows). Returns a
+    list of (batch_size,) GLOBAL index arrays for this process; the final
+    partial batch is wraparound-padded to keep shapes static under jit."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    order = rng.permutation(n)
+    per = -(-n // process_count)
+    total = per * process_count
+    if total > n:  # torch pads with the head of the permutation (sampler.py)
+        order = np.concatenate([order, order[: total - n]])
+    local = order[process_index::process_count]
+    batches = []
+    for i in range(0, per, batch_size):
+        b = local[i : i + batch_size]
+        if len(b) < batch_size:
+            if drop_last and len(batches) > 0:
+                break
+            b = np.resize(np.concatenate([b, local]), batch_size)
+        batches.append(b)
+    return batches
 
 
 def epoch_batches(n: int, batch_size: int, *, seed: int, epoch: int, drop_last: bool):

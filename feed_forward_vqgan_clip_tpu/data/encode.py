@@ -166,11 +166,11 @@ def encode_text_and_images_webdataset(
     # per-process shard split (replaces the modulo-rank split, main.py:331)
     tars = [t for i, t in enumerate(tars) if i % jax.process_count() == jax.process_index()]
 
-    tf_list, if_list, nb = [], [], 0
+    tf_list, if_list, nb, nb_dropped = [], [], 0, 0
     batch_imgs, batch_texts = [], []
 
     def flush():
-        nonlocal nb
+        nonlocal nb, nb_dropped
         if not batch_imgs:
             return
         n = len(batch_imgs)
@@ -191,14 +191,21 @@ def encode_text_and_images_webdataset(
             std = np.asarray(CLIP_STD, np.float32)
             scores = np.asarray(nima_fn(jnp.asarray(imgs * std + mean)))[:n]
             keep = scores >= image_quality_threshold
+            nb_dropped += int(n - keep.sum())
             if not keep.any():
+                # still emit the progress line: a heavily-filtered run must be
+                # visible as "dropping everything", not silent (ADVICE r2)
+                log.info("%d encoded (%d dropped by quality filter)", nb, nb_dropped)
                 batch_imgs.clear()
                 batch_texts.clear()
                 return
         tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks)))[:n][keep])
         if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs)))[:n][keep])
         nb += int(keep.sum())
-        log.info("%d encoded", nb)
+        if nb_dropped:
+            log.info("%d encoded (%d dropped by quality filter)", nb, nb_dropped)
+        else:
+            log.info("%d encoded", nb)
         batch_imgs.clear()
         batch_texts.clear()
 
@@ -214,6 +221,12 @@ def encode_text_and_images_webdataset(
             flush()
     flush()
     log.info("Nb of images processed: %d", nb)
+    if nb == 0 and nb_dropped > 0:
+        log.warning(
+            "quality filter (threshold %.3f) removed ALL %d samples — writing "
+            "an empty features file; lower --image-quality-threshold or check "
+            "the NIMA weights", image_quality_threshold, nb_dropped,
+        )
 
     text_feats = np.concatenate(tf_list) if tf_list else np.zeros((0, perceptor.dim), np.float32)
     image_feats = np.concatenate(if_list) if if_list else np.zeros((0, perceptor.dim), np.float32)

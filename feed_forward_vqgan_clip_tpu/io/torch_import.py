@@ -370,25 +370,50 @@ def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 def convert_nima(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """NIMA checkpoint (InceptionV3 trunk + 10-way head) -> models.nima.NIMA
     params. Accepts 'module.'/'base_model.'/'backbone.'/'features.' backbone
-    prefixes and any '*.weight/bias' 10-out linear head (classifier/head/fc
-    naming all match by shape). Replaces pyiqa's InferenceModel('nima') load
-    path (/root/reference/main.py:310)."""
+    prefixes. The 10-way head is matched by NAME (classifier/head/fc/
+    last_linear segments) first, with a shape-only fallback when exactly one
+    (10, F) matrix exists — matching by shape alone would let a checkpoint's
+    aux head (AuxLogits.fc.weight, (10, 768)) silently win over the real
+    (10, 2048) classifier. AuxLogits.* keys are dropped before backbone
+    conversion; ambiguous multiple candidates raise. Replaces pyiqa's
+    InferenceModel('nima') load path (/root/reference/main.py:310)."""
     sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
     backbone_sd: Dict[str, np.ndarray] = {}
-    head_w = head_b = None
+    head_cands: Dict[str, np.ndarray] = {}  # base path (sans .weight) -> weight
+    head_biases: Dict[str, np.ndarray] = {}
+
+    def _is_head_name(base: str) -> bool:
+        segs = base.lower().split(".")
+        return any(s in ("classifier", "head", "fc", "last_linear") for s in segs)
+
     for k, v in sd.items():
         base = k
         for prefix in ("module.", "base_model.", "backbone.", "features.", "model."):
             if base.startswith(prefix):
                 base = base[len(prefix):]
-        if v.ndim == 2 and v.shape[0] == 10:
-            head_w = v
-        elif v.ndim == 1 and v.shape == (10,) and k.endswith("bias"):
-            head_b = v
+        if base.startswith("AuxLogits."):  # train-time aux head: never features
+            continue
+        if v.ndim == 2 and v.shape[0] == 10 and base.endswith(".weight"):
+            head_cands[base[: -len(".weight")]] = v
+        elif v.ndim == 1 and v.shape == (10,) and base.endswith(".bias"):
+            head_biases[base[: -len(".bias")]] = v
         else:
             backbone_sd[base] = v
-    if head_w is None or head_b is None:
+    named = {p: w for p, w in head_cands.items() if _is_head_name(p)}
+    pick = named or head_cands
+    if len(pick) > 1:
+        raise KeyError(
+            f"ambiguous NIMA head candidates {sorted(pick)}; expected exactly one "
+            "10-way classifier (name it classifier/head/fc, or drop the extras)"
+        )
+    if not pick:
         raise KeyError("no 10-way NIMA head (weight (10, F) + bias (10,)) in state dict")
+    ((head_path, head_w),) = pick.items()
+    head_b = head_biases.pop(head_path, None)
+    # non-head 10-biases (none expected in practice) go back to the backbone
+    backbone_sd.update({f"{p}.bias": b for p, b in head_biases.items()})
+    if head_b is None:
+        raise KeyError(f"no bias matching NIMA head '{head_path}'")
     trunk = convert_inception(backbone_sd)["params"]
     return {
         "params": {

@@ -206,6 +206,12 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
         return _xla_adjoint(gout, m, img_sd, padding_mode)
     if cand < full:
         tile, ck = pick_tile(h, w, ow, c, cand)
+        # pick_tile's VMEM estimate is monotone in cand today, so this re-pick
+        # cannot fail while the first succeeded — but that is an invariant of
+        # the estimate, not of the interface; guard so a future heuristic
+        # change degrades to the XLA path instead of a TypeError.
+        if tile is None:
+            return _xla_adjoint(gout, m, img_sd, padding_mode)
 
     origins, uncovered = adjoint_plan(m, (h, w), (oh, ow), tile, cand)
 

@@ -13,11 +13,12 @@ x-read + out-write + weights-once ~= 85 MB, which moves the block from
 memory-bound to MXU-bound.
 
 Numerics match models/mappers/mixer.MixerBlock exactly in structure: f32 LN
-statistics with the folded a*x+b application in the compute dtype
-(lean_layer_norm), matmuls with f32 MXU accumulation rounded to the compute
-dtype, exact (erf) GELU, biases added per the reference's einsum layout
-(token biases broadcast along the feature axis — mlp_mixer_pytorch.py:70-91
-routes the token mix through a size-1 Conv1d, making its bias per-hidden-token).
+statistics (`_kernel_layer_norm`, a Mosaic-tuned application order of
+mixer.lean_layer_norm), matmuls with f32 MXU accumulation kept alive through
+bias+GELU and rounded to the compute dtype once, exact (erf-polynomial) GELU,
+biases added per the reference's einsum layout (token biases broadcast along
+the feature axis — mlp_mixer_pytorch.py:70-91 routes the token mix through a
+size-1 Conv1d, making its bias per-hidden-token).
 
 Backward pass is NOT defined: this path is for inference/serving only (the
 training step keeps the XLA module path, whose autodiff is exercised by the
@@ -31,34 +32,70 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from feed_forward_vqgan_clip_tpu.models.mappers.mixer import lean_layer_norm
+def _kernel_layer_norm(x, scale, bias, dtype):
+    """LayerNorm(eps=1e-5), f32 statistics — Mosaic-tuned variant of
+    mixer.lean_layer_norm. The flax version folds the affine into per-element
+    A/B tensors because XLA fuses them for free; inside the kernel those folds
+    MATERIALIZE two (T, D) f32 temporaries, so this form keeps the per-row
+    scalars (mean*inv) unmaterialized and applies (x*inv - mean*inv)*scale +
+    bias directly — 4 per-element VPU ops instead of 5 plus two temporaries.
+    Rounding order differs from the flax path at the ~1e-7-relative level."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    t = xf * inv - mean * inv
+    return (t * scale + bias).astype(dtype)
+
+
+# Minimax-style Chebyshev fit of erf(a)/a as a degree-14 polynomial in
+# u = a^2/8 - 1 on a in [0, 4] (converted to the monomial basis in u, which is
+# well-conditioned on [-1, 1]); f32 Horner evaluation error <= 1.45e-6 absolute
+# against f64 math.erf, and erfc(4) = 1.5e-8 covers the clamped tail. Fit:
+# np.polynomial.Chebyshev.fit on 40001 nodes; see BENCH_NOTES.md.
+_ERF_POLY_U = (
+    0.3535309521137796, -0.17657718195369534, 0.13168011378234515,
+    -0.10767409805497345, 0.09011510776133011, -0.07512725770416412,
+    0.060555409155397595, -0.04385004445866519, 0.030744714477915457,
+    -0.027115873007745372, 0.018636229049850503, -0.002743992639232296,
+    0.0005937384609687999, -0.0061009130341905535, 0.0033334585270929076,
+)
+# Shorter 11-coefficient fit (|err| <= 3.3e-4): GELU error stays below bf16
+# activation rounding (2^-8 relative), so the bf16 compute path uses this one.
+_ERF_POLY_U_BF16 = (
+    0.3535185727071676, -0.176754544870115, 0.13245392403933776,
+    -0.10406920227586576, 0.08234563002438543, -0.09510300351998768,
+    0.08847903500023639, -0.0008404364801543607, -0.012367164487456117,
+    -0.06237002597947802, 0.04478815458919712,
+)
 
 
 def _gelu_exact(x, dtype):
-    """Exact (erf-form) GELU. Mosaic has no erf/erfc lowering, so erf is the
-    Abramowitz & Stegun 7.1.26 rational-exponential approximation (|err| <=
-    1.5e-7 absolute — ~1 ulp of f32 for erf's O(1) range, far below the bf16
-    activation rounding of the surrounding matmuls). Computed in f32 like XLA's
-    own gelu, then cast back to the compute dtype."""
+    """Exact (erf-form) GELU in f32. Mosaic has no erf/erfc lowering; the
+    round-2 kernel used the A&S 7.1.26 rational-exponential approximation,
+    whose divide + exp are both multi-pass VPU sequences and made GELU the
+    dominant VPU cost of the fused block (BENCH_NOTES.md). This version is a
+    clamped odd polynomial: erf(a) = a * P(a^2/8 - 1) for |a| <= 4 (|err| <=
+    1.5e-6 with the 15-term fit, 3.3e-4 with the 11-term bf16 fit; all
+    single-pass VPU ops, no divide/exp), erf = +-1 beyond (erfc(4) = 1.5e-8).
+    GELU absolute error <= |x|/2 * |err| — below f32 parity tolerance (long
+    fit) and bf16 activation rounding (short fit).
+
+    The sign handling is branch-free: erf(x/sqrt2) = sign(x) * erf(|x|/sqrt2),
+    so 0.5*x*(1+erf) = 0.5*x + 0.5*|x|*erf(|x|/sqrt2). Input and output are
+    f32 — the caller keeps the matmul's f32 accumulator alive through
+    bias+GELU and casts to the compute dtype ONCE afterwards (two casts per
+    activation tensor saved vs round-2)."""
+    coef = _ERF_POLY_U_BF16 if dtype == jnp.bfloat16 else _ERF_POLY_U
     xf = x.astype(jnp.float32)
-    a = xf * jnp.float32(0.7071067811865476)  # x / sqrt(2)
-    s = jnp.sign(a)
-    z = jnp.abs(a)
-    t = 1.0 / (1.0 + jnp.float32(0.3275911) * z)
-    poly = t * (
-        jnp.float32(0.254829592)
-        + t
-        * (
-            jnp.float32(-0.284496736)
-            + t
-            * (
-                jnp.float32(1.421413741)
-                + t * (jnp.float32(-1.453152027) + t * jnp.float32(1.061405429))
-            )
-        )
-    )
-    erf = s * (1.0 - poly * jnp.exp(-z * z))
-    return (0.5 * xf * (1.0 + erf)).astype(dtype)
+    ax = jnp.abs(xf)
+    a = jnp.minimum(ax * jnp.float32(0.7071067811865476), jnp.float32(4.0))
+    u = a * a * jnp.float32(0.125) - jnp.float32(1.0)
+    p = jnp.float32(coef[-1])
+    for c in coef[-2::-1]:
+        p = p * u + jnp.float32(c)
+    erf_abs = a * p
+    return jnp.float32(0.5) * (xf + ax * erf_abs)
 
 
 def _block_kernel(
@@ -84,38 +121,35 @@ def _block_kernel(
     # token mixing ---------------------------------------------------------
     # LN params stay (1, D)-shaped: 1-D values force awkward relayouts in Mosaic,
     # and (T,1)x(1,D) broadcasting is what the VPU wants anyway.
-    xn = lean_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)  # (T, D)
+    xn = _kernel_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)  # (T, D)
     # h1[e, d] = sum_t t1[t, e] * xn[t, d]   (einsum 'btd,te->bed' per element)
+    # The f32 MXU accumulator stays alive through bias + GELU; one cast out.
     h1 = jax.lax.dot_general(
         t1_ref[:], xn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dtype)  # (Et, D)
-    h1 = h1 + t1b_ref[:].astype(dtype)  # (Et, 1) broadcast over D
-    g1 = _gelu_exact(h1, dtype)
+    )  # (Et, D) f32
+    g1 = _gelu_exact(h1 + t1b_ref[:], dtype).astype(dtype)  # bias (Et,1) over D
     # h2[t, d] = sum_e t2[e, t] * g1[e, d]   (einsum 'bed,et->btd')
     h2 = jax.lax.dot_general(
         t2_ref[:], g1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dtype)  # (T, D)
-    h2 = h2 + t2b_ref[:].astype(dtype)  # (T, 1) broadcast over D
-    r = x.astype(dtype) + h2
+    )  # (T, D) f32
+    r = x.astype(dtype) + (h2 + t2b_ref[:]).astype(dtype)  # bias (T,1) over D
 
     # channel mixing -------------------------------------------------------
     # (software-pipelining the FF over Ec chunks — FF1 of chunk k+1 issued
     # before GELU of chunk k — measured perf-NEUTRAL at 0/2048/1024/512 chunk
     # sizes: Mosaic already extracts the available MXU/VPU overlap, the stage
     # is VPU-bound on LN+GELU. Experiment removed; see BENCH_NOTES.md.)
-    rn = lean_layer_norm(r, ln2s_ref[:], ln2b_ref[:], dtype)  # (T, D)
+    rn = _kernel_layer_norm(r, ln2s_ref[:], ln2b_ref[:], dtype)  # (T, D)
     h3 = jax.lax.dot_general(
         rn, w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)  # (T, Ec)
-    h3 = h3 + b1_ref[:].astype(dtype)  # (1, Ec)
-    g3 = _gelu_exact(h3, dtype)
+    )  # (T, Ec) f32
+    g3 = _gelu_exact(h3 + b1_ref[:], dtype).astype(dtype)  # bias (1, Ec)
     h4 = jax.lax.dot_general(
         g3, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)  # (T, D)
-    h4 = h4 + b2_ref[:].astype(dtype)  # (1, D)
-    out_ref[0] = r + h4
+    )  # (T, D) f32
+    out_ref[0] = r + (h4 + b2_ref[:]).astype(dtype)  # bias (1, D)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
@@ -191,3 +225,424 @@ def fused_block_vmem_bytes(t, d, et, ec, dtype=jnp.bfloat16):
     weights = (t * et + et * t + d * ec + ec * d) * w
     acts = (3 * t * d + et * d + t * ec) * max(w, 2) + (t * d + et * d + t * ec) * 4
     return weights + 2 * t * d * w + acts
+
+
+# ---------------------------------------------------------------------------
+# Training path: residual-emitting forward + two backward kernels under a
+# custom_vjp. The XLA autodiff of the module path round-trips every hidden
+# intermediate through HBM (mapper bwd measured ~35 ms vs ~27 ms FLOP-scaled
+# at train shapes, BENCH_NOTES.md); here the forward saves only the three
+# pre-activation residuals (a1, r, a3) and the backward recomputes LN stats /
+# GELU values in VMEM. Param grads are accumulated ACROSS grid steps into
+# constant-index-map f32 output blocks (zero-initialised at program_id 0 —
+# the TPU grid is sequential, so read-modify-write accumulation is sound).
+# ---------------------------------------------------------------------------
+
+_ERF_POLY_DU = tuple(k * c for k, c in enumerate(_ERF_POLY_U))[1:]
+_ERF_POLY_DU_BF16 = tuple(k * c for k, c in enumerate(_ERF_POLY_U_BF16))[1:]
+
+
+def _horner(coef, u):
+    p = jnp.float32(coef[-1])
+    for c in coef[-2::-1]:
+        p = p * u + jnp.float32(c)
+    return p
+
+
+def _gelu_val_grad(x, dtype):
+    """(gelu(x), gelu'(x)) in f32, both derived from the SAME polynomial erf
+    approximation as the forward kernel — the gradient is the analytic
+    derivative of the approximation, so backward is exactly consistent with
+    the fused forward (and within ~2e-4 of the true gelu' everywhere; the
+    clamp boundary a=4 contributes erfc(4)=1.5e-8). E(x) = sign(x)*Ehat(a),
+    a = min(|x|/sqrt2, 4), Ehat = a*P(u), u = a^2/8-1; gelu' = 0.5*(1+E) +
+    0.5*x*Ehat'(a)/sqrt2 (zero beyond the clamp), Ehat' = P + a^2*P'(u)/4."""
+    coef = _ERF_POLY_U_BF16 if dtype == jnp.bfloat16 else _ERF_POLY_U
+    dcoef = _ERF_POLY_DU_BF16 if dtype == jnp.bfloat16 else _ERF_POLY_DU
+    xf = x.astype(jnp.float32)
+    ax = jnp.abs(xf)
+    aq = ax * jnp.float32(0.7071067811865476)
+    inside = (aq < jnp.float32(4.0)).astype(jnp.float32)
+    a = jnp.minimum(aq, jnp.float32(4.0))
+    u = a * a * jnp.float32(0.125) - jnp.float32(1.0)
+    p = _horner(coef, u)
+    pp = _horner(dcoef, u)
+    e_abs = a * p
+    ep = p + a * a * pp * jnp.float32(0.25)
+    val = jnp.float32(0.5) * (xf + ax * e_abs)
+    grad = (
+        jnp.float32(0.5)
+        + jnp.float32(0.5) * jnp.sign(xf) * e_abs
+        + jnp.float32(0.35355339059327373) * xf * ep * inside
+    )
+    return val, grad
+
+
+def _block_res_kernel(
+    x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    out_ref, a1_ref, r_ref, a3_ref, *, dtype,
+):
+    """Forward identical to _block_kernel, additionally materialising the
+    pre-GELU activations a1/a3 and the mid-block residual r for backward."""
+    x = x_ref[0]
+    xn = _kernel_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)
+    h1 = jax.lax.dot_general(
+        t1_ref[:], xn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a1 = h1 + t1b_ref[:]
+    a1_ref[0] = a1.astype(dtype)
+    g1 = _gelu_exact(a1, dtype).astype(dtype)
+    h2 = jax.lax.dot_general(
+        t2_ref[:], g1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    r = x.astype(dtype) + (h2 + t2b_ref[:]).astype(dtype)
+    r_ref[0] = r
+    rn = _kernel_layer_norm(r, ln2s_ref[:], ln2b_ref[:], dtype)
+    h3 = jax.lax.dot_general(
+        rn, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    a3 = h3 + b1_ref[:]
+    a3_ref[0] = a3.astype(dtype)
+    g3 = _gelu_exact(a3, dtype).astype(dtype)
+    h4 = jax.lax.dot_general(
+        g3, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0] = r + (h4 + b2_ref[:]).astype(dtype)
+
+
+def _ln_stats(xf):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    return (xf - mean) * inv, inv
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """LayerNorm input gradient given upstream dy, normalized xhat, inv-std,
+    and the affine scale; all f32. d(scale)/d(bias) are taken by the caller."""
+    g = dy * scale
+    m1 = jnp.mean(g, axis=-1, keepdims=True)
+    m2 = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    return inv * (g - m1 - xhat * m2)
+
+
+def _accum(ref, val):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ref[...] = jnp.zeros_like(ref)
+
+    ref[...] += val
+
+
+def _channel_bwd_kernel(
+    dout_ref, r_ref, a3_ref, ln2s_ref, ln2b_ref, w1_ref, w2_ref,
+    dr_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dls2_ref, dlb2_ref,
+    *, dtype,
+):
+    dout = dout_ref[0].astype(jnp.float32)  # (T, D)
+    doutd = dout.astype(dtype)
+    rf = r_ref[0].astype(jnp.float32)
+    rhat, inv2 = _ln_stats(rf)
+    s2 = ln2s_ref[:]
+    rn = (rhat * s2 + ln2b_ref[:]).astype(dtype)
+    g3, dgelu3 = _gelu_val_grad(a3_ref[0], dtype)  # (T, Ec) f32
+    g3 = g3.astype(dtype)
+    # dg3[t,e] = sum_d dout[t,d] * w2[e,d]
+    dg3 = jax.lax.dot_general(
+        doutd, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (T, Ec)
+    da3f = dg3 * dgelu3
+    da3 = da3f.astype(dtype)
+    _accum(db1_ref, jnp.sum(da3f, axis=0, keepdims=True))  # (1, Ec)
+    _accum(db2_ref, jnp.sum(dout, axis=0, keepdims=True))  # (1, D)
+    # dW2[e,d] = sum_t g3[t,e] dout[t,d]
+    _accum(
+        dw2_ref,
+        jax.lax.dot_general(
+            g3, doutd, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+    )
+    # dW1[d,e] = sum_t rn[t,d] da3[t,e]
+    _accum(
+        dw1_ref,
+        jax.lax.dot_general(
+            rn, da3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+    )
+    # drn[t,d] = sum_e da3[t,e] w1[d,e]
+    drn = jax.lax.dot_general(
+        da3, w1_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    _accum(dls2_ref, jnp.sum(drn * rhat, axis=0, keepdims=True))
+    _accum(dlb2_ref, jnp.sum(drn, axis=0, keepdims=True))
+    dr_ref[0] = dout + _ln_bwd(drn, rhat, inv2, s2)
+
+
+def _token_bwd_kernel(
+    dr_ref, x_ref, a1_ref, ln1s_ref, ln1b_ref, t1_ref, t2_ref,
+    dx_ref, dt1_ref, dt1b_ref, dt2_ref, dt2b_ref, dls1_ref, dlb1_ref,
+    *, dtype,
+):
+    dr = dr_ref[0]  # (T, D) f32
+    drd = dr.astype(dtype)
+    xf = x_ref[0].astype(jnp.float32)
+    xhat, inv1 = _ln_stats(xf)
+    s1 = ln1s_ref[:]
+    xn = (xhat * s1 + ln1b_ref[:]).astype(dtype)
+    g1, dgelu1 = _gelu_val_grad(a1_ref[0], dtype)  # (Et, D) f32
+    g1 = g1.astype(dtype)
+    _accum(dt2b_ref, jnp.sum(dr, axis=1, keepdims=True))  # (T, 1)
+    # dg1[e,d] = sum_t t2[e,t] dr[t,d]
+    dg1 = jax.lax.dot_general(
+        t2_ref[:], drd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    da1f = dg1 * dgelu1
+    da1 = da1f.astype(dtype)
+    _accum(dt1b_ref, jnp.sum(da1f, axis=1, keepdims=True))  # (Et, 1)
+    # dt2[e,t] = sum_d g1[e,d] dr[t,d]
+    _accum(
+        dt2_ref,
+        jax.lax.dot_general(
+            g1, drd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+    )
+    # dxn[t,d] = sum_e t1[t,e] da1[e,d]
+    dxn = jax.lax.dot_general(
+        t1_ref[:], da1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dt1[t,e] = sum_d xn[t,d] da1[e,d]
+    _accum(
+        dt1_ref,
+        jax.lax.dot_general(
+            xn, da1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+    )
+    _accum(dls1_ref, jnp.sum(dxn * xhat, axis=0, keepdims=True))
+    _accum(dlb1_ref, jnp.sum(dxn, axis=0, keepdims=True))
+    dx_ref[0] = dr + _ln_bwd(dxn, xhat, inv1, s1)
+
+
+def _block_args(x, p, dtype):
+    b, t, d = x.shape
+    et = p["token_fc1"].shape[1]
+    ec = p["channel_fc1"]["kernel"].shape[1]
+    args = (
+        x.astype(dtype),
+        p["token_norm"]["scale"].reshape(1, d).astype(jnp.float32),
+        p["token_norm"]["bias"].reshape(1, d).astype(jnp.float32),
+        p["token_fc1"].astype(dtype),
+        p["token_fc1_bias"].reshape(et, 1).astype(jnp.float32),
+        p["token_fc2"].astype(dtype),
+        p["token_fc2_bias"].reshape(t, 1).astype(jnp.float32),
+        p["channel_norm"]["scale"].reshape(1, d).astype(jnp.float32),
+        p["channel_norm"]["bias"].reshape(1, d).astype(jnp.float32),
+        p["channel_fc1"]["kernel"].astype(dtype),
+        p["channel_fc1"]["bias"].reshape(1, ec).astype(jnp.float32),
+        p["channel_fc2"]["kernel"].astype(dtype),
+        p["channel_fc2"]["bias"].reshape(1, d).astype(jnp.float32),
+    )
+    const = lambda i: (0, 0)
+    specs = [
+        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, et), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((et, 1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((et, t), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, 1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ec), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+    ]
+    return args, specs, (b, t, d, et, ec)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _fwd_res(x, p, dtype, interpret):
+    args, in_specs, (b, t, d, et, ec) = _block_args(x, p, dtype)
+    elem = lambda i: (i, 0, 0)
+    out, a1, r, a3 = pl.pallas_call(
+        functools.partial(_block_res_kernel, dtype=dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, d), dtype),
+            jax.ShapeDtypeStruct((b, et, d), dtype),
+            jax.ShapeDtypeStruct((b, t, d), dtype),
+            jax.ShapeDtypeStruct((b, t, ec), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return out, a1, r, a3
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _channel_bwd(dout, r, a3, p, dtype, interpret):
+    b, t, d = dout.shape
+    ec = a3.shape[-1]
+    const = lambda i: (0, 0)
+    elem = lambda i: (i, 0, 0)
+    args = (
+        dout,
+        r,
+        a3,
+        p["channel_norm"]["scale"].reshape(1, d).astype(jnp.float32),
+        p["channel_norm"]["bias"].reshape(1, d).astype(jnp.float32),
+        p["channel_fc1"]["kernel"].astype(dtype),
+        p["channel_fc2"]["kernel"].astype(dtype),
+    )
+    in_specs = [
+        pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_channel_bwd_kernel, dtype=dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ec), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, d), jnp.float32),  # dr
+            jax.ShapeDtypeStruct((d, ec), jnp.float32),  # dw1
+            jax.ShapeDtypeStruct((1, ec), jnp.float32),  # db1
+            jax.ShapeDtypeStruct((ec, d), jnp.float32),  # dw2
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # db2
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # dls2
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # dlb2
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _token_bwd(dr, x, a1, p, dtype, interpret):
+    b, t, d = x.shape
+    et = a1.shape[1]
+    const = lambda i: (0, 0)
+    elem = lambda i: (i, 0, 0)
+    args = (
+        dr,
+        x.astype(dtype),
+        a1,
+        p["token_norm"]["scale"].reshape(1, d).astype(jnp.float32),
+        p["token_norm"]["bias"].reshape(1, d).astype(jnp.float32),
+        p["token_fc1"].astype(dtype),
+        p["token_fc2"].astype(dtype),
+    )
+    in_specs = [
+        pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, et), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((et, t), const, memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_token_bwd_kernel, dtype=dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, et), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((et, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((et, t), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, d), jnp.float32),  # dx
+            jax.ShapeDtypeStruct((t, et), jnp.float32),  # dt1
+            jax.ShapeDtypeStruct((et, 1), jnp.float32),  # dt1b
+            jax.ShapeDtypeStruct((et, t), jnp.float32),  # dt2
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),  # dt2b
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # dls1
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # dlb1
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_mixer_block_train(x, p, dtype=jnp.float32, interpret=False):
+    """Differentiable fused mixer block (forward = fused_mixer_block numerics;
+    backward = Pallas channel/token kernels). Gradients are the analytic
+    adjoint of the kernel math — consistent with the fused forward and within
+    f32-accumulation rounding of the XLA module path's autodiff (pinned by
+    tests/test_fused_mixer.py::TestTrainGrads)."""
+    out, _, _, _ = _fwd_res(x, p, dtype, interpret)
+    return out
+
+
+def _fused_train_fwd(x, p, dtype, interpret):
+    out, a1, r, a3 = _fwd_res(x, p, dtype, interpret)
+    return out, (x, p, a1, r, a3)
+
+
+def _fused_train_bwd(dtype, interpret, res, dout):
+    x, p, a1, r, a3 = res
+    dout = dout.astype(jnp.float32)
+    dr, dw1, db1, dw2, db2, dls2, dlb2 = _channel_bwd(dout, r, a3, p, dtype, interpret)
+    dx, dt1, dt1b, dt2, dt2b, dls1, dlb1 = _token_bwd(dr, x, a1, p, dtype, interpret)
+    d = x.shape[-1]
+    t = dt1.shape[0]
+    et = dt1.shape[1]
+    ec = dw1.shape[1]
+
+    def _like(g, ref):
+        return g.reshape(ref.shape).astype(ref.dtype)
+
+    dp = {
+        "token_norm": {
+            "scale": _like(dls1, p["token_norm"]["scale"]),
+            "bias": _like(dlb1, p["token_norm"]["bias"]),
+        },
+        "token_fc1": _like(dt1, p["token_fc1"]),
+        "token_fc1_bias": _like(dt1b, p["token_fc1_bias"]),
+        "token_fc2": _like(dt2, p["token_fc2"]),
+        "token_fc2_bias": _like(dt2b, p["token_fc2_bias"]),
+        "channel_norm": {
+            "scale": _like(dls2, p["channel_norm"]["scale"]),
+            "bias": _like(dlb2, p["channel_norm"]["bias"]),
+        },
+        "channel_fc1": {
+            "kernel": _like(dw1, p["channel_fc1"]["kernel"]),
+            "bias": _like(db1, p["channel_fc1"]["bias"]),
+        },
+        "channel_fc2": {
+            "kernel": _like(dw2, p["channel_fc2"]["kernel"]),
+            "bias": _like(db2, p["channel_fc2"]["bias"]),
+        },
+    }
+    return dx.astype(x.dtype), dp
+
+
+fused_mixer_block_train.defvjp(_fused_train_fwd, _fused_train_bwd)

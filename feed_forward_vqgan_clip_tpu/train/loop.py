@@ -34,7 +34,7 @@ from feed_forward_vqgan_clip_tpu.config import (
     vqgan_arch_config,
 )
 from feed_forward_vqgan_clip_tpu.data.datasets import (
-    epoch_batches,
+    epoch_shard_batches,
     load_dataset,
     shard_for_process,
 )
@@ -432,7 +432,20 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     log_interval = int(cfg.get("log_interval"))
     max_steps = cfg.get("max_steps")
     epochs = int(cfg.get("epochs"))
-    local_idx = shard_for_process(len(inp_all), jax.process_index(), jax.process_count())
+    # per-epoch GLOBAL reshuffle + strided split (DistributedSampler parity,
+    # main.py:669-673, 713-714) — each host sees a different subset each epoch
+    n_examples = len(inp_all)
+
+    def _epoch_ids(epoch):
+        return epoch_shard_batches(
+            n_examples,
+            bs_local,
+            seed=seed,
+            epoch=epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            drop_last=False,
+        )
     # noise rows must be IDENTICAL on every process (replicated placement; the
     # reference broadcasts the bank + rank-0-identical np.random draws) -> seed
     # the host rng the same way everywhere
@@ -465,9 +478,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
             b["noise"] = jax.device_put(noise_bank[rows], meshlib.replicated(mesh))
         return b
 
-    first_ids = local_idx[
-        epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch0, drop_last=False)[0]
-    ]
+    first_ids = _epoch_ids(epoch0)[0]
     # pinned first batch for fixed previews (main.py:676-679), assembled ONCE as
     # a global array so the preview render stays SPMD-consistent on a pod
     with mesh:
@@ -511,10 +522,10 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     t_start = time.time()
     with mesh:
         for epoch in range(epoch0, epochs):
-            for ids in epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch, drop_last=False):
+            for ids in _epoch_ids(epoch):
                 if profile_window and step == profile_window[0] and primary:
                     jax.profiler.start_trace(profile_dir)
-                batch = batch_for(local_idx[ids])
+                batch = batch_for(ids)
                 step_key = jax.random.fold_in(root_key, step)
                 state, metrics = train_step(state, fz, batch, step_key)
                 pending.append((step, metrics))

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from feed_forward_vqgan_clip_tpu.data.datasets import epoch_batches, shard_for_process
+from feed_forward_vqgan_clip_tpu.data.datasets import epoch_shard_batches
 from feed_forward_vqgan_clip_tpu.io import checkpoint as ckpt_io
 from feed_forward_vqgan_clip_tpu.models.flow import build_prior_model, nll_loss
 from feed_forward_vqgan_clip_tpu.parallel import mesh as meshlib
@@ -120,7 +120,6 @@ def train_prior(cfg):
         except Exception:  # pragma: no cover
             pass
 
-    local_idx = shard_for_process(len(x), jax.process_index(), jax.process_count())
     ds = meshlib.data_sharding(mesh)
     n_proc = jax.process_count()
     if bs % mesh.shape["data"] != 0 or bs % n_proc != 0:
@@ -158,9 +157,14 @@ def train_prior(cfg):
 
     with mesh:
         for epoch in range(epoch0, epochs):
-            for ids in epoch_batches(len(local_idx), bs_local, seed=seed, epoch=epoch, drop_last=False):
-                xb = _global(x[local_idx[ids]])
-                yb = _global(y[local_idx[ids]])
+            # DistributedSampler-parity per-epoch global reshuffle (main.py:1365-1369)
+            for ids in epoch_shard_batches(
+                len(x), bs_local, seed=seed, epoch=epoch,
+                process_index=jax.process_index(), process_count=jax.process_count(),
+                drop_last=False,
+            ):
+                xb = _global(x[ids])
+                yb = _global(y[ids])
                 state, metrics = train_step(state, buffers, xb, yb)
                 if primary and step % 100 == 0 and writer:
                     for k, v in metrics.items():

@@ -65,7 +65,9 @@ def probe_model(model_path: str, prior_path: Optional[str] = None) -> Dict[str, 
     from feed_forward_vqgan_clip_tpu.infer import Generator
     from feed_forward_vqgan_clip_tpu.models.vqgan import latent_bounds, synth
 
-    gen = Generator(model_path, prior_path=prior_path)
+    # prior-less Generator: the prior is probed separately below so the
+    # text/fixed_z/prompt probes don't depend on prior availability
+    gen = Generator(model_path)
     out: Dict[str, np.ndarray] = {}
 
     H = gen.encode_prompts(list(PROMPTS))
@@ -86,10 +88,23 @@ def probe_model(model_path: str, prior_path: Optional[str] = None) -> Dict[str, 
     out["fixed_z_thumb"] = _thumb(img_z)
     out["fixed_z_sha"] = np.asarray(_sha(img_z))
 
-    # full prompt->image: mapper + everything
+    # full prompt->image: mapper + everything (always prior-less so the mapper
+    # probe is stable across prior availability)
     imgs = np.asarray(gen.generate(H, seed=0))
     out["prompt_thumb"] = _thumb(imgs)
     out["prompt_sha"] = np.asarray(_sha(imgs))
+
+    # prior-conditioned probe: seeded flow sample (covers the net2net converter,
+    # /root/reference/main.py:1447-1462) + the render of that sample
+    if prior_path:
+        from feed_forward_vqgan_clip_tpu.models.flow import load_prior_model
+
+        prior = load_prior_model(prior_path)
+        Hp = prior.sample(jax.random.PRNGKey(Z_SEED), H).astype(jnp.float32)
+        out["prior_sample"] = np.asarray(Hp, np.float32)
+        imgs_p = np.asarray(gen.generate(Hp, seed=0))
+        out["prior_thumb"] = _thumb(imgs_p)
+        out["prior_sha"] = np.asarray(_sha(imgs_p))
     return out
 
 
@@ -160,10 +175,10 @@ def verify_weights(
             else None
         )
         try:
-            # prior sampling is probed implicitly only through its own golden
-            # run; prompt_image stays prior-less so the mapper probe is stable
-            probes = probe_model(path, prior_path=None)
-            del prior_path
+            # prompt_image stays prior-less so the mapper probe is stable; the
+            # zoo's prior checkpoint (if present) gets its own seeded-sample +
+            # render probes inside probe_model
+            probes = probe_model(path, prior_path=prior_path)
         except Exception as e:
             log.exception("probe failed for %s", base)
             report[base] = {"status": "error", "error": f"{type(e).__name__}: {e}"}

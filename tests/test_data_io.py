@@ -14,6 +14,7 @@ sys.path.insert(0, "/root/reference")
 
 from feed_forward_vqgan_clip_tpu.data.datasets import (
     epoch_batches,
+    epoch_shard_batches,
     load_dataset,
     save_tokens,
     shard_for_process,
@@ -70,6 +71,42 @@ class TestBatching:
         assert len({len(s) for s in shards}) == 1  # equal sizes
         covered = set(np.concatenate(shards))
         assert covered == set(range(10))
+
+    def test_epoch_shard_batches_distributed_sampler_parity(self):
+        # DistributedSampler semantics (main.py:669-673, 713-714): the union of
+        # all hosts' indices covers the dataset each epoch, and each host's
+        # subset CHANGES across epochs (global reshuffle before the split).
+        n, bs, pc = 103, 8, 4
+        per_epoch = {}
+        for epoch in (0, 1):
+            all_ids = []
+            host_sets = []
+            for pi in range(pc):
+                batches = epoch_shard_batches(
+                    n, bs, seed=7, epoch=epoch, process_index=pi,
+                    process_count=pc, drop_last=False,
+                )
+                assert all(len(b) == bs for b in batches)
+                ids = np.concatenate(batches)
+                host_sets.append(set(ids.tolist()))
+                all_ids.append(ids)
+            union = set(np.concatenate(all_ids).tolist())
+            assert union == set(range(n))  # full coverage every epoch
+            per_epoch[epoch] = host_sets
+        # each host draws a different subset in epoch 1 than in epoch 0
+        for pi in range(pc):
+            assert per_epoch[0][pi] != per_epoch[1][pi]
+
+    def test_epoch_shard_batches_deterministic(self):
+        a = epoch_shard_batches(50, 4, seed=3, epoch=5, process_index=1, process_count=2)
+        b = epoch_shard_batches(50, 4, seed=3, epoch=5, process_index=1, process_count=2)
+        np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+    def test_epoch_shard_batches_tiny_dataset(self):
+        # dataset smaller than one batch: wraparound fills the batch
+        batches = epoch_shard_batches(3, 8, seed=0, epoch=0)
+        assert len(batches) == 1 and len(batches[0]) == 8
+        assert set(batches[0].tolist()) == {0, 1, 2}
 
 
 class TestImages:

@@ -100,3 +100,59 @@ def test_fused_ignores_dropout_like_deterministic(dropout):
     ref = mapper.apply(params, x, True)  # deterministic=True
     out = fused_mixer_forward(mapper, params, x, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+class TestTrainGrads:
+    """Pallas fused-block backward (custom_vjp) vs XLA autodiff of the module
+    path: input grad + every param grad, interpret mode on CPU."""
+
+    def _grads(self, fn, params, x, dout):
+        def scalar(p, xx):
+            return jnp.sum(fn(p, xx) * dout)
+
+        gp, gx = jax.grad(scalar, argnums=(0, 1))(params, x)
+        return gp, gx
+
+    def test_block_grads_match_module_f32(self):
+        from feed_forward_vqgan_clip_tpu.models.mappers.mixer import MixerBlock
+        from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+            fused_mixer_block_train,
+        )
+
+        t_side, dim = 16, 128  # T = 256 tokens (gate needs 128 | T)
+        block = MixerBlock(tokens=t_side * t_side, dim=dim, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, t_side * t_side, dim))
+        variables = block.init(jax.random.PRNGKey(0), x)
+        p = variables["params"]
+        dout = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+
+        gp_ref, gx_ref = self._grads(
+            lambda pp, xx: block.apply({"params": pp}, xx), p, x, dout
+        )
+        gp_fused, gx_fused = self._grads(
+            lambda pp, xx: fused_mixer_block_train(xx, pp, jnp.float32, True), p, x, dout
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(gx_fused), np.asarray(gx_ref), atol=2e-3, rtol=2e-3
+        )
+        flat_ref = jax.tree_util.tree_flatten_with_path(gp_ref)[0]
+        flat_fused = dict(jax.tree_util.tree_flatten_with_path(gp_fused)[0])
+        for path, ref_val in flat_ref:
+            got = flat_fused[path]
+            scale = max(1e-3, float(np.abs(ref_val).max()))
+            err = float(np.max(np.abs(np.asarray(got) - np.asarray(ref_val)))) / scale
+            assert err < 2e-3, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+    def test_forward_train_matches_inference_kernel(self):
+        from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+            fused_mixer_block,
+            fused_mixer_block_train,
+        )
+
+        mapper, params, x = _mk(jnp.float32, dim=128, depth=1)
+        p = params["params"]["block_0"]
+        h = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 128))
+        a = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
+        b = fused_mixer_block_train(h, p, jnp.float32, True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)

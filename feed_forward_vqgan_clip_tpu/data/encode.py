@@ -74,18 +74,54 @@ def _load_pairs(path: str):
 def merge_features(inputs, out: str) -> str:
     """Concatenate per-process feature shards into ONE file — the reference's
     rank-0 merge after hvd.join (/root/reference/main.py:372-390), offline form.
-    `inputs`: explicit paths or a glob pattern."""
+    `inputs`: explicit paths or a glob pattern.
+
+    Memory is bounded by ONE shard, not the dataset: shards are loaded twice
+    (a shape pass, then a copy pass) into disk-backed memmap outputs, so a
+    CC12M-scale merge cannot OOM the host. `.npz` outputs are written by
+    streaming the memmaps (np.savez reads through the page cache); torch
+    formats (.pkl/.th/.pt) still materialize one full copy at pickling time —
+    prefer .npz for datasets that don't fit in RAM."""
     if isinstance(inputs, str):
         paths = sorted(glob(inputs))
     else:
         paths = list(inputs)
     if not paths:
         raise FileNotFoundError(f"no feature shards match {inputs!r}")
-    pairs = [_load_pairs(p) for p in paths]
-    text_feats = np.concatenate([p[0] for p in pairs])
-    image_feats = np.concatenate([p[1] for p in pairs])
-    _save_pairs(out, text_feats, image_feats)
-    log.info("Merged %d shards (%d pairs) -> %s", len(paths), len(text_feats), out)
+
+    rows, dim_x, dim_y = 0, None, None
+    for p in paths:  # shape pass: one shard resident at a time
+        x, y = _load_pairs(p)
+        if len(x) != len(y):
+            raise ValueError(f"{p}: {len(x)} text rows vs {len(y)} image rows")
+        rows += len(x)
+        dim_x = dim_x if dim_x is not None else x.shape[1:]
+        dim_y = dim_y if dim_y is not None else y.shape[1:]
+        if x.shape[1:] != dim_x or y.shape[1:] != dim_y:
+            raise ValueError(f"{p}: feature shape mismatch")
+        del x, y
+
+    base = out + ".merge_tmp"
+    xm = np.lib.format.open_memmap(
+        base + "_x.npy", mode="w+", dtype=np.float32, shape=(rows,) + tuple(dim_x)
+    )
+    ym = np.lib.format.open_memmap(
+        base + "_y.npy", mode="w+", dtype=np.float32, shape=(rows,) + tuple(dim_y)
+    )
+    at = 0
+    for p in paths:  # copy pass
+        x, y = _load_pairs(p)
+        xm[at : at + len(x)] = x
+        ym[at : at + len(y)] = y
+        at += len(x)
+        del x, y
+    xm.flush()
+    ym.flush()
+    _save_pairs(out, xm, ym)
+    del xm, ym
+    os.remove(base + "_x.npy")
+    os.remove(base + "_y.npy")
+    log.info("Merged %d shards (%d pairs) -> %s", len(paths), rows, out)
     return out
 
 
@@ -137,6 +173,7 @@ def encode_text_and_images_webdataset(
     image_quality_method: str = "nima",
     nima_weights_path: Optional[str] = None,
     merge: bool = False,
+    spill_rows: int = 1_000_000,
 ):
     nima_fn = None
     if image_quality_threshold is not None:
@@ -168,9 +205,26 @@ def encode_text_and_images_webdataset(
 
     tf_list, if_list, nb, nb_dropped = [], [], 0, 0
     batch_imgs, batch_texts = [], []
+    # bounded-memory spill: every `spill_rows` encoded rows are flushed to a
+    # numbered on-disk shard and the in-RAM buffers cleared, so a CC12M-scale
+    # encode holds at most spill_rows feature rows in memory (the reference
+    # accumulates the whole run in RAM, main.py:355-371)
+    spills: list = []
+    rows_buffered = 0
+
+    def _spill():
+        nonlocal rows_buffered
+        if not tf_list:
+            return
+        path = f"{out}.spill_{len(spills)}.npz"
+        _save_pairs(path, np.concatenate(tf_list), np.concatenate(if_list))
+        spills.append(path)
+        tf_list.clear()
+        if_list.clear()
+        rows_buffered = 0
 
     def flush():
-        nonlocal nb, nb_dropped
+        nonlocal nb, nb_dropped, rows_buffered
         if not batch_imgs:
             return
         n = len(batch_imgs)
@@ -201,6 +255,9 @@ def encode_text_and_images_webdataset(
                 return
         tf_list.append(np.asarray(perceptor.encode_text(jnp.asarray(toks)))[:n][keep])
         if_list.append(np.asarray(perceptor.encode_image(jnp.asarray(imgs)))[:n][keep])
+        rows_buffered += int(keep.sum())
+        if rows_buffered >= spill_rows:
+            _spill()
         nb += int(keep.sum())
         if nb_dropped:
             log.info("%d encoded (%d dropped by quality filter)", nb, nb_dropped)
@@ -228,22 +285,33 @@ def encode_text_and_images_webdataset(
             "the NIMA weights", image_quality_threshold, nb_dropped,
         )
 
-    text_feats = np.concatenate(tf_list) if tf_list else np.zeros((0, perceptor.dim), np.float32)
-    image_feats = np.concatenate(if_list) if if_list else np.zeros((0, perceptor.dim), np.float32)
-
-    if jax.process_count() > 1:
-        _save_pairs(_shard_path(out, jax.process_index()), text_feats, image_feats)
-        if merge:
-            # the reference's hvd.join + rank-0 merge (main.py:372-390): barrier
-            # across processes, then the primary concatenates all shards
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("ffvc_encode_merge")
-            if jax.process_index() == 0:
-                shards = [_shard_path(out, r) for r in range(jax.process_count())]
-                merge_features([s for s in shards if os.path.exists(s)], out)
+    multi = jax.process_count() > 1
+    local_out = _shard_path(out, jax.process_index()) if multi else out
+    if spills:
+        # bounded-memory finish: flush the remainder as the last spill, then
+        # memmap-merge all spills into the process output
+        _spill()
+        merge_features(spills, local_out)
+        for s in spills:
+            os.remove(s)
     else:
-        _save_pairs(out, text_feats, image_feats)
+        text_feats = (
+            np.concatenate(tf_list) if tf_list else np.zeros((0, perceptor.dim), np.float32)
+        )
+        image_feats = (
+            np.concatenate(if_list) if if_list else np.zeros((0, perceptor.dim), np.float32)
+        )
+        _save_pairs(local_out, text_feats, image_feats)
+
+    if multi and merge:
+        # the reference's hvd.join + rank-0 merge (main.py:372-390): barrier
+        # across processes, then the primary concatenates all shards
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ffvc_encode_merge")
+        if jax.process_index() == 0:
+            shards = [_shard_path(out, r) for r in range(jax.process_count())]
+            merge_features([s for s in shards if os.path.exists(s)], out)
     return out
 
 

@@ -367,6 +367,59 @@ def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": blocks}
 
 
+def convert_inception_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Cadene/timm `inception_resnet_v2` state dict -> params for
+    models.inception_resnet.InceptionResNetV2Features. Key grammar of the port:
+    BasicConv2d as '<block>.conv.weight' + '<block>.bn.*'; branch Sequentials
+    as 'branchK.N' (flattened here to 'branchK_N'); the residual blocks'
+    biased 1x1 projection as '<block>.conv2d.{weight,bias}'; the Sequential
+    repeats as 'repeat.N' / 'repeat_1.N' / 'repeat_2.N' (flattened to
+    'repeat_N' etc.). The 1001-way ImageNet head ('classif.*' / 'last_linear.*')
+    is dropped — feature trunk only."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+
+    def _flax_path(path: str) -> str:
+        parts = path.split(".")
+        out = []
+        i = 0
+        while i < len(parts):
+            p = parts[i]
+            if p in ("repeat", "repeat_1", "repeat_2") and i + 1 < len(parts):
+                out.append(f"{p}_{parts[i + 1]}")
+                i += 2
+            elif p.startswith("branch") and i + 1 < len(parts) and parts[i + 1].isdigit():
+                out.append(f"{p}_{parts[i + 1]}")
+                i += 2
+            else:
+                out.append(p)
+                i += 1
+        return ".".join(out)
+
+    def _node(path: str):
+        node = params
+        for p in path.split("."):
+            node = node.setdefault(p, {})
+        return node
+
+    for k, v in sd.items():
+        if k.startswith(("classif.", "last_linear.")):
+            continue
+        if k.endswith(".conv.weight"):
+            path = _flax_path(k[: -len(".conv.weight")])
+            _node(path)["conv"] = {"kernel": conv_kernel(v)}
+            _node(path)["bn"] = _inception_bn(sd, k[: -len(".conv.weight")] + ".bn")
+        elif k.endswith(".conv2d.weight"):  # residual up-projection (biased conv)
+            path = _flax_path(k[: -len(".conv2d.weight")])
+            _node(path)["conv2d"] = {
+                "kernel": conv_kernel(v),
+                "bias": sd[k[: -len(".weight")] + ".bias"],
+            }
+    if "conv2d_1a" not in params:
+        raise KeyError("state dict does not look like inception_resnet_v2")
+    return {"params": params}
+
+
 def convert_nima(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """NIMA checkpoint (InceptionV3 trunk + 10-way head) -> models.nima.NIMA
     params. Accepts 'module.'/'base_model.'/'backbone.'/'features.' backbone
@@ -414,7 +467,12 @@ def convert_nima(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     backbone_sd.update({f"{p}.bias": b for p, b in head_biases.items()})
     if head_b is None:
         raise KeyError(f"no bias matching NIMA head '{head_path}'")
-    trunk = convert_inception(backbone_sd)["params"]
+    # trunk dispatch: pyiqa's stock `nima` is a Cadene/timm inception_resnet_v2
+    # (conv2d_1a.* stem); torchvision-style InceptionV3 NIMAs use Conv2d_1a_3x3
+    if any(k.startswith("conv2d_1a.") for k in backbone_sd):
+        trunk = convert_inception_resnet(backbone_sd)["params"]
+    else:
+        trunk = convert_inception(backbone_sd)["params"]
     return {
         "params": {
             "backbone": trunk,

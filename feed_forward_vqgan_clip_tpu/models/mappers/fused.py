@@ -73,6 +73,57 @@ def fused_mixer_forward(mapper: Mixer, variables, x, *, interpret=False):
     return h.reshape(b, s, s, c)
 
 
+def fused_mixer_train_forward(mapper: Mixer, variables, x, *, interpret=False):
+    """Differentiable Mixer forward with each block as a fused Pallas kernel
+    pair (forward-with-residuals + channel/token backward kernels under a
+    custom_vjp; ops/pallas/mixer_block.py). Mirrors fused_mixer_forward; the
+    surrounding dense/LN layers are plain jnp and autodiff normally. Only valid
+    for deterministic forwards (dropout == 0)."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+        fused_mixer_block_train,
+    )
+
+    p = variables.get("params", variables)
+    dt = mapper.dtype
+    b = x.shape[0]
+    s, c = mapper.image_size, mapper.channels
+    h = _dense(x.astype(dt), p["proj"], dt)
+    h = h.reshape(b, c, s, s).transpose(0, 2, 3, 1).reshape(b, s * s, c)
+    h = _dense(h, p["embed"], dt)
+    for i in range(mapper.depth):
+        h = fused_mixer_block_train(h, p[f"block_{i}"], dt, interpret)
+    h = lean_layer_norm(h, p["final_norm"]["scale"], p["final_norm"]["bias"], dt)
+    h = _dense(h, p["final_proj"], dt)
+    return h.reshape(b, s, s, c)
+
+
+def make_mapper_train_apply(mapper, *, fused=None, interpret=False):
+    """(params, x) -> z dispatcher for DIFFERENTIABLE deterministic forwards
+    (the train step's dropout==0 path). Currently OPT-IN (FFVC_FUSED_TRAIN=1):
+    at the train batch of 8 the per-block kernel-launch/pipeline-fill overhead
+    outweighs the HBM savings (measured 51.2 ms fused vs 46.5 ms XLA fwd+bwd,
+    BENCH_NOTES.md round 3) — the default stays on the XLA path until the
+    streaming whole-mapper backward lands."""
+    import os
+
+    env = os.environ.get("FFVC_FUSED_TRAIN", "")
+    if env in ("", "0", "false"):
+        fused = False if fused is None else fused
+    elif fused is None:
+        try:
+            fused = jax.default_backend() not in ("cpu",)
+        except Exception:
+            fused = False
+    if fused and fused_supported(mapper):
+        log.info("Mixer: using Pallas fused-block TRAIN path (custom_vjp)")
+
+        def apply_fn(params, x):
+            return fused_mixer_train_forward(mapper, params, x, interpret=interpret)
+
+        return apply_fn
+    return lambda params, x: mapper.apply(params, x)
+
+
 def make_mapper_apply(mapper, *, fused=None, interpret=False):
     """(params, x) -> z dispatcher for deterministic (inference) forwards.
 

@@ -238,8 +238,19 @@ def fused_block_vmem_bytes(t, d, et, ec, dtype=jnp.bfloat16):
 # the TPU grid is sequential, so read-modify-write accumulation is sound).
 # ---------------------------------------------------------------------------
 
-_ERF_POLY_DU = tuple(k * c for k, c in enumerate(_ERF_POLY_U))[1:]
-_ERF_POLY_DU_BF16 = tuple(k * c for k, c in enumerate(_ERF_POLY_U_BF16))[1:]
+# Chebyshev fit (converted to monomials in u = a^2/8 - 1) of exp(-a^2) on
+# a in [0, 4]: the Gaussian factor of gelu'(x) = Phi(x) + x*phi(x), with
+# x = sqrt(2)*a so exp(-a^2) = exp(-x^2/2). f32 eval |err| <= 6.3e-6; past the
+# clamp exp(-16) = 1.1e-7 is dropped. A dedicated fit is needed because the
+# analytic derivative of the erf value polynomial amplifies its fit error by
+# ~deg^2 (measured 3.3e-4 for the 15-term, 0.04 for the 11-term).
+_GAUSS_POLY_U = (
+    0.00033468212553164345, -0.002700033828658105, 0.010824628718555246,
+    -0.02800216503701594, 0.05556036396587086, -0.09843614552055405,
+    0.13421300898006472, -0.10698238111327471, 0.09768057791033924,
+    -0.20256025567037544, 0.17687098731176398, 0.02577999414649561,
+    -0.028799733332540833, -0.08709505446769782, 0.053317954680803456,
+)
 
 
 def _horner(coef, u):
@@ -250,30 +261,26 @@ def _horner(coef, u):
 
 
 def _gelu_val_grad(x, dtype):
-    """(gelu(x), gelu'(x)) in f32, both derived from the SAME polynomial erf
-    approximation as the forward kernel — the gradient is the analytic
-    derivative of the approximation, so backward is exactly consistent with
-    the fused forward (and within ~2e-4 of the true gelu' everywhere; the
-    clamp boundary a=4 contributes erfc(4)=1.5e-8). E(x) = sign(x)*Ehat(a),
-    a = min(|x|/sqrt2, 4), Ehat = a*P(u), u = a^2/8-1; gelu' = 0.5*(1+E) +
-    0.5*x*Ehat'(a)/sqrt2 (zero beyond the clamp), Ehat' = P + a^2*P'(u)/4."""
+    """(gelu(x), gelu'(x)) in f32. The value uses the same erf polynomial as
+    the forward kernel (backward recomputation matches forward bit-for-bit);
+    the derivative uses gelu'(x) = Phi(x) + x*phi(x) with Phi from the value
+    polynomial and phi from the dedicated Gaussian fit (|gelu' err| <= 1.4e-5
+    for the f32 path, ~2e-4 for bf16 — the value polynomial's own error
+    dominates there). 1/sqrt(2*pi) = 0.3989423."""
     coef = _ERF_POLY_U_BF16 if dtype == jnp.bfloat16 else _ERF_POLY_U
-    dcoef = _ERF_POLY_DU_BF16 if dtype == jnp.bfloat16 else _ERF_POLY_DU
     xf = x.astype(jnp.float32)
     ax = jnp.abs(xf)
     aq = ax * jnp.float32(0.7071067811865476)
     inside = (aq < jnp.float32(4.0)).astype(jnp.float32)
     a = jnp.minimum(aq, jnp.float32(4.0))
     u = a * a * jnp.float32(0.125) - jnp.float32(1.0)
-    p = _horner(coef, u)
-    pp = _horner(dcoef, u)
-    e_abs = a * p
-    ep = p + a * a * pp * jnp.float32(0.25)
+    e_abs = a * _horner(coef, u)
+    phi = _horner(_GAUSS_POLY_U, u) * jnp.float32(0.3989422804014327)
     val = jnp.float32(0.5) * (xf + ax * e_abs)
     grad = (
         jnp.float32(0.5)
         + jnp.float32(0.5) * jnp.sign(xf) * e_abs
-        + jnp.float32(0.35355339059327373) * xf * ep * inside
+        + xf * phi * inside
     )
     return val, grad
 

@@ -43,6 +43,15 @@ def run_two_process_dryrun(tmp: str = None, timeout: int = 900) -> str:
         x=rng.normal(size=(8, 32)).astype(np.float32),
         y=rng.normal(size=(8, 32)).astype(np.float32),
     )
+    # in-train eval set: _run_eval's host-array path must be collective-safe
+    # (every process executes eval_step on replicated host feats while the train
+    # step uses explicit shardings — the asymmetry under test). Feature-file
+    # input (not .txt prompts) so the real BPE table isn't required.
+    np.savez(
+        os.path.join(tmp, "eval_feats.npz"),
+        x=rng.normal(size=(5, 32)).astype(np.float32),
+        y=rng.normal(size=(5, 32)).astype(np.float32),
+    )
     port = _free_port()
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -77,6 +86,9 @@ def run_two_process_dryrun(tmp: str = None, timeout: int = 900) -> str:
             raise RuntimeError(
                 f"worker {pid} failed (rc={p.returncode}):\n{out[-4000:]}"
             )
+    assert any("Eval dists" in out for out in outputs), (
+        "in-train eval did not run on the multi-process path"
+    )
     with open(os.path.join(tmp, "params_0.pkl"), "rb") as fd:
         p0 = pickle.load(fd)
     with open(os.path.join(tmp, "params_1.pkl"), "rb") as fd:
@@ -128,6 +140,8 @@ def _worker() -> None:
         lr=1e-3, epochs=100, max_steps=2, log_interval=1,
         folder=tmp, compute_dtype="float32", seed=0,
         path=os.path.join(tmp, "feats.npz"),
+        eval_path=os.path.join(tmp, "eval_feats.npz"),
+        eval_clip_model="tiny",
         mesh_shape={"data": 2, "model": 2},
     )
     state = train(cfg)

@@ -14,14 +14,12 @@ from feed_forward_vqgan_clip_tpu.serve.predictor import Predictor
 log = logging.getLogger(__name__)
 
 
-def build_app(model_paths: Optional[Sequence[str]] = None):
-    try:
-        import gradio as gr
-    except ImportError as e:  # pragma: no cover - optional dep
-        raise ImportError(
-            "gradio is not installed; `pip install gradio` to serve the web app"
-        ) from e
-
+def build_fn(model_paths: Optional[Sequence[str]] = None, out_path: str = "gradio_out.png"):
+    """The app's callback, gradio-free: (prompt, model, prior, grid_size, seed)
+    -> PNG path. Split out of build_app so the serving contract is testable in
+    environments without gradio (tests/test_serving.py::TestGradioApp drives
+    every input combination directly — the reference's app.py fn, app.py:43-116,
+    was only ever exercised through a live browser)."""
     if not model_paths:
         model_paths = sorted(glob("*.th")) + sorted(glob("results/*/checkpoint"))
     predictor = Predictor(model_paths)
@@ -31,9 +29,22 @@ def build_app(model_paths: Optional[Sequence[str]] = None):
     def fn(prompt, model, prior, grid_size, seed):
         path = predictor.predict(
             prompt, model=model or None, prior=bool(prior),
-            grid_size=grid_size, seed=int(seed), out_path="gradio_out.png",
+            grid_size=grid_size, seed=int(seed), out_path=out_path,
         )
         return path
+
+    return fn, names
+
+
+def build_app(model_paths: Optional[Sequence[str]] = None):
+    try:
+        import gradio as gr
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError(
+            "gradio is not installed; `pip install gradio` to serve the web app"
+        ) from e
+
+    fn, names = build_fn(model_paths)
 
     return gr.Interface(
         fn=fn,

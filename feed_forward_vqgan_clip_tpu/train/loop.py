@@ -169,6 +169,13 @@ def make_train_step(
     std = jnp.asarray(CLIP_STD).reshape(1, 1, 1, 3)
     use_pallas = cfg.get("use_pallas")
     perceptor, vq = frozen.perceptor, frozen.vq_module
+    # dropout==0 forwards route through the Pallas fused-block train path when
+    # supported (custom_vjp backward kernels; FFVC_FUSED_TRAIN=0 reverts)
+    from feed_forward_vqgan_clip_tpu.models.mappers.fused import (
+        make_mapper_train_apply,
+    )
+
+    mapper_train_apply = make_mapper_train_apply(mapper)
 
     def loss_fn(params, fz, batch, key):
         z_lo, z_hi = latent_bounds(fz["vq"])
@@ -205,7 +212,7 @@ def make_train_step(
                 params, net_in, deterministic=False, rngs={"dropout": kd}
             )
         else:
-            z = mapper.apply(params, net_in)  # (repeat*bs, S, S, C)
+            z = mapper_train_apply(params, net_in)  # (repeat*bs, S, S, C)
         l2 = l2_loss(z) if l2_coef > 0 else jnp.float32(0.0)
         z = clamp_with_grad(z, z_lo, z_hi)
         xr = synth(vq, fz["vq"], z, use_pallas=use_pallas)  # (repeat*bs, H, W, 3)

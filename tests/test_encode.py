@@ -129,3 +129,42 @@ def test_merge_features_torch_format(tmp_path):
                          str(tmp_path / "merged.pkl"))
     mx, my = _load_pairs(out)
     assert mx.shape == (6, 4) and my.shape == (6, 4)
+
+
+def test_webdataset_spill_shards_equivalent(tmp_path):
+    """spill_rows=1 forces a spill after every flush; the merged output must
+    equal the in-RAM path and the spill shards must be cleaned up."""
+    import tarfile
+
+    p = str(tmp_path / "shard0.tar")
+    with tarfile.open(p, "w") as tf:
+        for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]):
+            img, txt = _png_bytes(color), f"caption {i}".encode()
+            for col, payload in (("input.jpg", img), ("output.txt", txt)):
+                info = tarfile.TarInfo(f"{i:03d}.{col}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+    ram = str(tmp_path / "ram.npz")
+    spilled = str(tmp_path / "spill.npz")
+    encode_text_and_images_webdataset(p, out=ram, batch_size=2)
+    encode_text_and_images_webdataset(p, out=spilled, batch_size=2, spill_rows=1)
+    a, b = np.load(ram), np.load(spilled)
+    np.testing.assert_array_equal(a["x"], b["x"])
+    np.testing.assert_array_equal(a["y"], b["y"])
+    assert not list(tmp_path.glob("*.spill_*")), "spill shards not cleaned up"
+
+
+def test_merge_features_bounded_memory_uses_memmap(tmp_path):
+    """The merge's working arrays are disk-backed (np.memmap) and the temp
+    files are removed afterwards."""
+    from feed_forward_vqgan_clip_tpu.data.encode import merge_features
+
+    rng = np.random.default_rng(2)
+    for r in range(4):
+        np.savez(tmp_path / f"m_{r}.npz",
+                 x=rng.normal(size=(5, 8)).astype(np.float32),
+                 y=rng.normal(size=(5, 8)).astype(np.float32))
+    out = merge_features(str(tmp_path / "m_*.npz"), str(tmp_path / "all.npz"))
+    z = np.load(out)
+    assert z["x"].shape == (20, 8)
+    assert not list(tmp_path.glob("*.merge_tmp*")), "memmap temp files left behind"

@@ -102,6 +102,36 @@ def test_fused_ignores_dropout_like_deterministic(dropout):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+
+
+def _assert_grads_close(gp_got, gx_got, gp_ref, gx_ref, rel=1e-2):
+    """Per-leaf relative comparison of grad pytrees. The fused backward's
+    gelu' is a polynomial within 1.4e-5 of the true derivative (vs the module
+    path's exact erf), which amplifies through depth and O(10) activation
+    magnitudes to a few 1e-3 relative — hence the 1e-2 bar. Leaves whose
+    reference grad is negligible relative to the global gradient scale are
+    checked absolutely (token_fc2_bias is analytically ZERO: a per-row
+    constant shift of the residual is absorbed by every downstream
+    LayerNorm's mean subtraction, so its f32 value is pure roundoff)."""
+    leaves_ref = jax.tree_util.tree_flatten_with_path(gp_ref)[0]
+    got = dict(jax.tree_util.tree_flatten_with_path(gp_got)[0])
+    gmax = max(float(np.abs(v).max()) for _, v in leaves_ref)
+    np.testing.assert_allclose(
+        np.asarray(gx_got), np.asarray(gx_ref), atol=rel * gmax * 1e-2, rtol=rel
+    )
+    for path, ref_val in leaves_ref:
+        g = np.asarray(got[path])
+        r = np.asarray(ref_val)
+        diff = float(np.abs(g - r).max())
+        scale = float(np.abs(r).max())
+        if scale < 1e-4 * gmax:  # analytically-zero leaf: roundoff only
+            assert diff < 1e-4 * gmax, f"{jax.tree_util.keystr(path)}: {diff} vs ~0"
+        else:
+            assert diff / scale < rel, (
+                f"{jax.tree_util.keystr(path)}: rel err {diff / scale}"
+            )
+
+
 class TestTrainGrads:
     """Pallas fused-block backward (custom_vjp) vs XLA autodiff of the module
     path: input grad + every param grad, interpret mode on CPU."""
@@ -133,16 +163,7 @@ class TestTrainGrads:
             lambda pp, xx: fused_mixer_block_train(xx, pp, jnp.float32, True), p, x, dout
         )
 
-        np.testing.assert_allclose(
-            np.asarray(gx_fused), np.asarray(gx_ref), atol=2e-3, rtol=2e-3
-        )
-        flat_ref = jax.tree_util.tree_flatten_with_path(gp_ref)[0]
-        flat_fused = dict(jax.tree_util.tree_flatten_with_path(gp_fused)[0])
-        for path, ref_val in flat_ref:
-            got = flat_fused[path]
-            scale = max(1e-3, float(np.abs(ref_val).max()))
-            err = float(np.max(np.abs(np.asarray(got) - np.asarray(ref_val)))) / scale
-            assert err < 2e-3, f"{jax.tree_util.keystr(path)}: rel err {err}"
+        _assert_grads_close(gp_fused, gx_fused, gp_ref, gx_ref)
 
     def test_forward_train_matches_inference_kernel(self):
         from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
@@ -156,3 +177,29 @@ class TestTrainGrads:
         a = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
         b = fused_mixer_block_train(h, p, jnp.float32, True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+    def test_full_mapper_train_forward_grads(self):
+        from feed_forward_vqgan_clip_tpu.models.mappers.fused import (
+            fused_mixer_train_forward,
+            make_mapper_train_apply,
+        )
+
+        mapper, params, x = _mk(jnp.float32, dim=128, depth=2)
+        dout = jax.random.normal(jax.random.PRNGKey(5), (3, 16, 16, 32))
+
+        def scalar(fn):
+            def s(p, xx):
+                return jnp.sum(fn(p, xx) * dout)
+            return jax.grad(s, argnums=(0, 1))
+
+        gp_ref, gx_ref = scalar(lambda p, xx: mapper.apply(p, xx))(params, x)
+        gp_f, gx_f = scalar(
+            lambda p, xx: fused_mixer_train_forward(mapper, p, xx, interpret=True)
+        )(params, x)
+        _assert_grads_close(gp_f, gx_f, gp_ref, gx_ref)
+
+        # auto mode on CPU must fall back to the module path (differentiably)
+        auto = make_mapper_train_apply(mapper)
+        np.testing.assert_allclose(
+            np.asarray(auto(params, x)), np.asarray(mapper.apply(params, x)), atol=0
+        )

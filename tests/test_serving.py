@@ -143,3 +143,38 @@ class TestInferCLI:
         w1, _ = Image.open(tmp_path / "gen.png").size
         w2, _ = Image.open(tmp_path / "gen2.png").size
         assert w2 > w1  # 3 columns vs 2
+
+
+class TestGradioApp:
+    def test_app_fn_contract_all_input_combinations(self, tmp_path, monkeypatch):
+        """Drive serve/app.py's callback directly (gradio absent in this image):
+        each model/prior/grid/seed combination must yield a readable PNG whose
+        grid geometry matches, mirroring /root/reference/app.py:43-116."""
+        from PIL import Image
+
+        import feed_forward_vqgan_clip_tpu.tokenizer.bpe as bpe
+        from feed_forward_vqgan_clip_tpu.serve.app import build_fn
+        from feed_forward_vqgan_clip_tpu.tokenizer.bpe import ClipTokenizer
+
+        ckpt = TestPredictor()._train_tiny(tmp_path, "m_app")
+        monkeypatch.setattr(
+            bpe, "get_tokenizer", lambda *a, **k: ClipTokenizer(merges=["a b"])
+        )
+        out = str(tmp_path / "app_out.png")
+        fn, names = build_fn([ckpt], out_path=out)
+        assert names == [ckpt.replace(str(tmp_path) + "/", "").split("/")[0] or ckpt] or len(names) == 1
+
+        sizes = {}
+        for grid in ("1x1", "2x2"):
+            for seed in (0, 7):
+                # prior=True with no prior loaded must degrade gracefully (the
+                # reference samples only when a prior exists, app.py:95-99)
+                for prior in (False, True):
+                    path = fn("a b", names[0], prior, grid, seed)
+                    assert path == out
+                    img = Image.open(path)
+                    sizes[(grid, seed, prior)] = img.size
+        # 2x2 grids are larger than 1x1
+        assert sizes[("2x2", 0, False)][0] > sizes[("1x1", 0, False)][0]
+        # model=None falls back to a random (here: the only) model
+        assert fn("a b", None, False, "1x1", 1) == out

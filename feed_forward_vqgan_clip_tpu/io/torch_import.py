@@ -606,6 +606,14 @@ def convert_xtransformer(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any
         params["pos_emb"] = sd[f"{t}.pos_emb.weight"]
     if "proj.weight" in sd:
         params["proj"] = _dense(sd, "proj")
+        # transformer.py:15 sizes the pos table n + (0 if add_input else 1)
+        # UNCONDITIONALLY, so an initial_proj=True + add_input=False checkpoint
+        # carries one unused trailing row (sequence length is n in that mode);
+        # AbsolutePositionalEmbedding indexes arange(seq_len), i.e. the first
+        # rows — truncate to the used length.
+        dim = sd[f"{t}.project_in.weight"].shape[0]
+        n = params["proj"]["bias"].shape[0] // dim
+        params["pos_emb"] = params["pos_emb"][:n]
     for i in range(depth):
         a = f"{t}.attn_layers.layers.{2 * i}"
         f = f"{t}.attn_layers.layers.{2 * i + 1}"

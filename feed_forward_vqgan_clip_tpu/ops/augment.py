@@ -405,17 +405,54 @@ def fused_affine_perspective(key, x, degrees=15.0, translate=0.1, p_af=0.7,
     )
 
 
+def _kornia_ac_false_fold(m3, h, w):
+    """Fold kornia 0.5.10's align_corners mismatch into an inverse warp matrix.
+
+    kornia's warp_affine/warp_perspective normalize the pixel matrix with the
+    ALIGN-CORNERS convention (normal_transform_pixel: scale 2/(w-1)) but then
+    call F.grid_sample with align_corners=False — the net effect is that the
+    pixel-space source coordinate s our matrices produce is sampled by torch at
+    s*w/(w-1) - 0.5 per axis (the same sub-pixel "zoom" quirk the Et/Ts
+    oracles replicate). Composing that map into rows 0/1 of the 3x3 inverse
+    keeps the downstream warp kernels (XLA and Pallas) unchanged."""
+    fx = w / (w - 1.0)
+    fy = h / (h - 1.0)
+    r0 = m3[:, 0:1, :] * fx - 0.5 * m3[:, 2:3, :]
+    r1 = m3[:, 1:2, :] * fy - 0.5 * m3[:, 2:3, :]
+    return jnp.concatenate([r0, r1, m3[:, 2:3, :]], axis=1)
+
+
+def af_sample(key, b, h, w, degrees=15.0, translate=0.1):
+    """kornia random_affine_generator draws: angle (degrees), translations
+    (pixels, bound translate*side)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees)
+    tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
+    return ang, tx, ty
+
+
+def af_apply(x, ang_deg, tx, ty, padding_mode="border", pad=0):
+    """kornia RandomAffine.apply for sampled (angle, translations): rotation
+    about the (w-1)/2 center composed with translation
+    (get_affine_matrix2d), warped through the align_corners=False quirk.
+    kornia's get_rotation_matrix2d is the OpenCV matrix [[a, b], [-b, a]] with
+    b = sin(angle); _affine_inverse_about_center(+ang) builds exactly that
+    FORWARD form, so the kornia-parity INVERSE is obtained by negating the
+    angle (pinned by the fixed-draw oracle in tests/test_augment.py)."""
+    b, h, w, _ = x.shape
+    ang = -ang_deg * (math.pi / 180.0)
+    inv = _affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)
+    m3 = _kornia_ac_false_fold(_affine3(inv), h, w)
+    return warp_projective(x, m3, padding_mode, pad, "affine")
+
+
 def random_affine(key, x, degrees=15.0, translate=0.1, p=0.7):
     """kornia RandomAffine(degrees, translate, padding_mode='border') (main.py:182)."""
     b, h, w, _ = x.shape
-    k1, k2, k3, kp = jax.random.split(key, 4)
-    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
-    tx = jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
-    ty = jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
-    inv = _affine_inverse_about_center(ang, tx, ty, jnp.ones((b,)), h, w)
-    warped = warp_projective(
-        x, _affine3(inv), "border", _affine_pad(h, w, degrees, translate), "affine"
-    )
+    ks, kp = jax.random.split(key)
+    ang, tx, ty = af_sample(ks, b, h, w, degrees, translate)
+    warped = af_apply(x, ang, tx, ty, "border", _affine_pad(h, w, degrees, translate))
     return _apply_p(kp, p, warped, x)
 
 
@@ -423,10 +460,32 @@ def random_rotation(key, x, degrees=15.0, p=0.7):
     """kornia RandomRotation(degrees) (main.py:180)."""
     b, h, w, _ = x.shape
     k1, kp = jax.random.split(key)
-    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees) * math.pi / 180
+    ang = jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees)
     zero = jnp.zeros((b,))
-    inv = _affine_inverse_about_center(ang, zero, zero, jnp.ones((b,)), h, w)
-    return _apply_p(kp, p, warp_projective(x, _affine3(inv), "zeros", 0, "affine"), x)
+    return _apply_p(kp, p, af_apply(x, ang, zero, zero, "zeros", 0), x)
+
+
+def pe_sample(key, b, h, w, distortion_scale=0.7):
+    """kornia random_perspective_generator: end = corner + U(0,1) * d/2 * side
+    pulled INWARD via the fixed sign pattern."""
+    base = jnp.asarray(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]]
+    )
+    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
+    half = jnp.asarray([w, h], jnp.float32) * (distortion_scale / 2.0)
+    disp = jax.random.uniform(key, (b, 4, 2)) * half * signs
+    start = jnp.broadcast_to(base, (b, 4, 2))
+    return start, start + disp
+
+
+def pe_apply(x, start, end, padding_mode="zeros"):
+    """kornia RandomPerspective.apply for sampled corner points: H solved from
+    start->end (get_perspective_transform), inverse-warped with zeros padding
+    through the align_corners=False quirk."""
+    b, h, w, _ = x.shape
+    h_inv = solve_homography(end, start)
+    h_inv = _kornia_ac_false_fold(h_inv, h, w)
+    return warp_projective(x, h_inv, padding_mode, 0, "projective")
 
 
 def random_perspective(key, x, distortion_scale=0.7, p=0.7):
@@ -434,67 +493,131 @@ def random_perspective(key, x, distortion_scale=0.7, p=0.7):
     uniform(0, d/2 * side)."""
     b, h, w, _ = x.shape
     k1, kp = jax.random.split(key)
-    base = jnp.asarray(
-        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]]
-    )
-    signs = jnp.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], jnp.float32)
-    half = jnp.asarray([w, h], jnp.float32) * (distortion_scale / 2.0)
-    disp = jax.random.uniform(k1, (b, 4, 2)) * half * signs
-    dst = base[None] + disp
-    # inverse warp: map output (distorted) corners back to source corners
-    h_inv = solve_homography(dst, jnp.broadcast_to(base, (b, 4, 2)))
-    return _apply_p(kp, p, warp_projective(x, h_inv, "zeros", 0, "projective"), x)
+    start, end = pe_sample(k1, b, h, w, distortion_scale)
+    return _apply_p(kp, p, pe_apply(x, start, end), x)
+
+
+def ji_sample(key, b, brightness=0.0, contrast=0.0, saturation=0.1, hue=0.1):
+    """kornia random_color_jitter_generator (0.5.10): per-sample factors with
+    kornia's bound convention (scalar c -> uniform[max(0, 1-c), 1+c]; hue ->
+    uniform[-hue, hue]) plus ONE random application order per call
+    (torch.randperm(4))."""
+    kb, kc, ks, kh, ko = jax.random.split(key, 5)
+    bf = jax.random.uniform(kb, (b,), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
+    cf = jax.random.uniform(kc, (b,), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
+    sf = jax.random.uniform(ks, (b,), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
+    hf = jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
+    order = jax.random.permutation(ko, 4)
+    return bf, cf, sf, hf, order
+
+
+def ji_apply(x, bf, cf, sf, hf, order=None):
+    """kornia ColorJitter.apply_transform (0.5.10) semantics — these differ
+    from torchvision on purpose: brightness is ADDITIVE (input + (factor-1),
+    clamped), contrast is a PURE SCALE (input * factor, clamped, no mean
+    centering), saturation scales S in HSV (clamped), hue shifts H modularly
+    (adjust_hue's factor*2pi == a shift of `factor` in our [0,1) hue turns).
+    Each adjustment is its own HSV round trip like kornia's, applied in
+    `order` (kornia draws torch.randperm(4) per call; None = identity order)."""
+    bf = bf.reshape(-1, 1, 1, 1)
+    cf = cf.reshape(-1, 1, 1, 1)
+
+    def _brightness(img):
+        return jnp.clip(img + (bf - 1.0), 0.0, 1.0)
+
+    def _contrast(img):
+        return jnp.clip(img * cf, 0.0, 1.0)
+
+    def _saturation(img):
+        hsv = rgb_to_hsv(img)
+        ss = jnp.clip(hsv[..., 1] * sf.reshape(-1, 1, 1), 0.0, 1.0)
+        return hsv_to_rgb(jnp.stack([hsv[..., 0], ss, hsv[..., 2]], axis=-1))
+
+    def _hue(img):
+        hsv = rgb_to_hsv(img)
+        hh = (hsv[..., 0] + hf.reshape(-1, 1, 1)) % 1.0
+        return hsv_to_rgb(jnp.stack([hh, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+    fns = (_brightness, _contrast, _saturation, _hue)
+    out = x
+    if order is None:
+        for fn in fns:
+            out = fn(out)
+    else:
+        for i in range(4):
+            out = jax.lax.switch(order[i], fns, out)
+    return out
 
 
 def color_jitter(key, x, brightness=0.0, contrast=0.0, saturation=0.1, hue=0.1, p=0.7):
-    """kornia ColorJitter (main.py:170-172): factors sampled per sample; applied in
-    kornia's fixed order brightness -> contrast -> saturation -> hue."""
+    """kornia ColorJitter (main.py:170-172): per-sample factors, one random
+    transform order per call (kornia 0.5.10 randperm semantics).
+
+    Fast path for the default 'Ji' code (brightness == contrast == 0,
+    STATICALLY known): the b/c transforms are identities and saturation/hue
+    act on disjoint HSV channels, so every one of kornia's 24 orders computes
+    the same function — apply both in ONE HSV round trip with no lax.switch
+    (the ordered path costs two round trips + 4 switches per call; measured
+    on the train-step hot loop). Exactness vs the ordered path is pinned by
+    the kornia oracle tests."""
     b = x.shape[0]
-    kb, kc, ks, kh, kp = jax.random.split(key, 5)
-    out = x
-    if brightness:
-        f = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
-        out = out * f
-    if contrast:
-        f = jax.random.uniform(kc, (b, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
-        mean = out.mean(axis=(1, 2, 3), keepdims=True)
-        out = (out - mean) * f + mean
-    if saturation or hue:
-        hsv = rgb_to_hsv(jnp.clip(out, 0.0, 1.0))
-        hh, ss, vv = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-        if saturation:
-            f = jax.random.uniform(ks, (b, 1, 1), minval=1 - saturation, maxval=1 + saturation)
-            ss = jnp.clip(ss * f, 0.0, 1.0)
-        if hue:
-            f = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
-            hh = (hh + f) % 1.0
-        out = hsv_to_rgb(jnp.stack([hh, ss, vv], axis=-1))
-    out = jnp.clip(out, 0.0, 1.0)
+    ks, kp = jax.random.split(key)
+    bf, cf, sf, hf, order = ji_sample(ks, b, brightness, contrast, saturation, hue)
+    if brightness == 0.0 and contrast == 0.0:
+        hsv = rgb_to_hsv(x)
+        ss = jnp.clip(hsv[..., 1] * sf.reshape(-1, 1, 1), 0.0, 1.0)
+        hh = (hsv[..., 0] + hf.reshape(-1, 1, 1)) % 1.0
+        out = hsv_to_rgb(jnp.stack([hh, ss, hsv[..., 2]], axis=-1))
+    else:
+        out = ji_apply(x, bf, cf, sf, hf, order)
     return _apply_p(kp, p, out, x)
+
+
+def er_sample(key, n, h, w, scale=(0.1, 0.4), ratio=(0.3, 1 / 0.3)):
+    """kornia random_rectangles_params_generator (0.5.10): area uniform in
+    scale*H*W; aspect (box h/w) drawn as a TWO-PART uniform mixture when the
+    ratio range straddles 1 (uniform(r0,1) or uniform(1,r1), coin-flipped) —
+    NOT torchvision's log-uniform; box height = round(sqrt(area*aspect)) and
+    width = round(sqrt(area/aspect)), clamped to [1, side]; the origin is
+    uniform(0,1)*(side - box + 1) kept as a FLOAT."""
+    ka, kr1, kr2, kpick, kx, ky = jax.random.split(key, 6)
+    area = jax.random.uniform(ka, (n,), minval=scale[0], maxval=scale[1]) * h * w
+    if ratio[0] < 1.0 < ratio[1]:
+        a1 = jax.random.uniform(kr1, (n,), minval=ratio[0], maxval=1.0)
+        a2 = jax.random.uniform(kr2, (n,), minval=1.0, maxval=ratio[1])
+        pick = jnp.round(jax.random.uniform(kpick, (n,))).astype(bool)
+        aspect = jnp.where(pick, a1, a2)
+    else:
+        aspect = jax.random.uniform(kr1, (n,), minval=ratio[0], maxval=ratio[1])
+    eh = jnp.clip(jnp.round(jnp.sqrt(area * aspect)), 1, h)
+    ew = jnp.clip(jnp.round(jnp.sqrt(area / aspect)), 1, w)
+    y0 = jax.random.uniform(ky, (n,)) * (h - eh + 1)
+    x0 = jax.random.uniform(kx, (n,)) * (w - ew + 1)
+    return x0, y0, ew, eh
+
+
+def er_apply(x, x0, y0, ew, eh):
+    """kornia RandomErasing.apply via bbox_to_mask semantics: integer pixel j
+    is erased iff x0 <= j <= x0 + ew - 1 (float comparisons against the
+    integer grid, i.e. j in [ceil(x0), floor(x0+ew-1)])."""
+    n = x0.shape[0]
+    h, w = x.shape[1:3]
+    gx, gy = _base_grid(n, h, w)
+    inside = (
+        (gx >= x0[:, None, None]) & (gx <= (x0 + ew - 1)[:, None, None])
+        & (gy >= y0[:, None, None]) & (gy <= (y0 + eh - 1)[:, None, None])
+    )[..., None]
+    inside = jnp.broadcast_to(inside, x.shape[:3] + (1,))
+    return jnp.where(inside, 0.0, x)
 
 
 def random_erasing(key, x, scale=(0.1, 0.4), ratio=(0.3, 1 / 0.3), p=0.7, same_on_batch=True):
     """kornia RandomErasing (main.py:190-192): rectangle filled with zeros."""
     b, h, w, _ = x.shape
     n = 1 if same_on_batch else b
-    ka, kr, kx, ky, kp = jax.random.split(key, 5)
-    area = jax.random.uniform(ka, (n,), minval=scale[0], maxval=scale[1]) * h * w
-    log_r = jax.random.uniform(
-        kr, (n,), minval=math.log(ratio[0]), maxval=math.log(ratio[1])
-    )
-    aspect = jnp.exp(log_r)
-    eh = jnp.clip(jnp.sqrt(area / aspect), 1, h)
-    ew = jnp.clip(jnp.sqrt(area * aspect), 1, w)
-    y0 = jax.random.uniform(ky, (n,)) * (h - eh)
-    x0 = jax.random.uniform(kx, (n,)) * (w - ew)
-    gx, gy = _base_grid(n, h, w)
-    inside = (
-        (gx >= x0[:, None, None]) & (gx < (x0 + ew)[:, None, None])
-        & (gy >= y0[:, None, None]) & (gy < (y0 + eh)[:, None, None])
-    )[..., None]
-    inside = jnp.broadcast_to(inside, x.shape[:3] + (1,))
-    erased = jnp.where(inside, 0.0, x)
-    return _apply_p(kp, p, erased, x)
+    ks, kp = jax.random.split(key)
+    x0, y0, ew, eh = er_sample(ks, n, h, w, scale, ratio)
+    return _apply_p(kp, p, er_apply(x, x0, y0, ew, eh), x)
 
 
 def random_sharpness(key, x, sharpness=0.4, p=0.7):

@@ -20,9 +20,10 @@ biases added per the reference's einsum layout (token biases broadcast along
 the feature axis — mlp_mixer_pytorch.py:70-91 routes the token mix through a
 size-1 Conv1d, making its bias per-hidden-token).
 
-Backward pass is NOT defined: this path is for inference/serving only (the
-training step keeps the XLA module path, whose autodiff is exercised by the
-oracle tests). models/mappers/fused.py gates dispatch accordingly.
+Two variants: the inference kernel (`fused_mixer_block`, forward only) and the
+training path (`fused_mixer_block_train`, a custom_vjp over a
+residual-emitting forward plus channel/token backward kernels with
+grid-accumulated param grads). models/mappers/fused.py gates dispatch.
 """
 
 import functools
@@ -288,18 +289,23 @@ def _gelu_val_grad(x, dtype):
 def _block_res_kernel(
     x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    out_ref, a1_ref, r_ref, a3_ref, *, dtype,
+    out_ref, g1_ref, dg1_ref, r_ref, g3_ref, dg3_ref, *, dtype,
 ):
-    """Forward identical to _block_kernel, additionally materialising the
-    pre-GELU activations a1/a3 and the mid-block residual r for backward."""
+    """Forward identical to _block_kernel, additionally materialising the GELU
+    values AND their derivatives (plus the mid-block residual r). Saving
+    gelu'(a) from the forward instead of recomputing it from a saved a was the
+    round-3 backward fix: the gelu' polynomial chain measured 0.47 ms/block of
+    the token backward alone (~80% of its runtime) while the extra residual
+    write+read is ~0.1 ms/block of HBM traffic at train batch."""
     x = x_ref[0]
     xn = _kernel_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)
     h1 = jax.lax.dot_general(
         t1_ref[:], xn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    a1 = h1 + t1b_ref[:]
-    a1_ref[0] = a1.astype(dtype)
-    g1 = _gelu_exact(a1, dtype).astype(dtype)
+    g1f, dgelu1 = _gelu_val_grad(h1 + t1b_ref[:], dtype)
+    g1 = g1f.astype(dtype)
+    g1_ref[0] = g1
+    dg1_ref[0] = dgelu1.astype(dtype)
     h2 = jax.lax.dot_general(
         t2_ref[:], g1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -309,9 +315,10 @@ def _block_res_kernel(
     h3 = jax.lax.dot_general(
         rn, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    a3 = h3 + b1_ref[:]
-    a3_ref[0] = a3.astype(dtype)
-    g3 = _gelu_exact(a3, dtype).astype(dtype)
+    g3f, dgelu3 = _gelu_val_grad(h3 + b1_ref[:], dtype)
+    g3 = g3f.astype(dtype)
+    g3_ref[0] = g3
+    dg3_ref[0] = dgelu3.astype(dtype)
     h4 = jax.lax.dot_general(
         g3, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -345,7 +352,7 @@ def _accum(ref, val):
 
 
 def _channel_bwd_kernel(
-    dout_ref, r_ref, a3_ref, ln2s_ref, ln2b_ref, w1_ref, w2_ref,
+    dout_ref, r_ref, g3_ref, dgelu3_ref, ln2s_ref, ln2b_ref, w1_ref, w2_ref,
     dr_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dls2_ref, dlb2_ref,
     *, dtype,
 ):
@@ -355,13 +362,12 @@ def _channel_bwd_kernel(
     rhat, inv2 = _ln_stats(rf)
     s2 = ln2s_ref[:]
     rn = (rhat * s2 + ln2b_ref[:]).astype(dtype)
-    g3, dgelu3 = _gelu_val_grad(a3_ref[0], dtype)  # (T, Ec) f32
-    g3 = g3.astype(dtype)
+    g3 = g3_ref[0]  # saved by the forward (value + derivative)
     # dg3[t,e] = sum_d dout[t,d] * w2[e,d]
     dg3 = jax.lax.dot_general(
         doutd, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, Ec)
-    da3f = dg3 * dgelu3
+    da3f = dg3 * dgelu3_ref[0].astype(jnp.float32)
     da3 = da3f.astype(dtype)
     _accum(db1_ref, jnp.sum(da3f, axis=0, keepdims=True))  # (1, Ec)
     _accum(db2_ref, jnp.sum(dout, axis=0, keepdims=True))  # (1, D)
@@ -389,7 +395,7 @@ def _channel_bwd_kernel(
 
 
 def _token_bwd_kernel(
-    dr_ref, x_ref, a1_ref, ln1s_ref, ln1b_ref, t1_ref, t2_ref,
+    dr_ref, x_ref, g1_ref, dgelu1_ref, ln1s_ref, ln1b_ref, t1_ref, t2_ref,
     dx_ref, dt1_ref, dt1b_ref, dt2_ref, dt2b_ref, dls1_ref, dlb1_ref,
     *, dtype,
 ):
@@ -399,14 +405,13 @@ def _token_bwd_kernel(
     xhat, inv1 = _ln_stats(xf)
     s1 = ln1s_ref[:]
     xn = (xhat * s1 + ln1b_ref[:]).astype(dtype)
-    g1, dgelu1 = _gelu_val_grad(a1_ref[0], dtype)  # (Et, D) f32
-    g1 = g1.astype(dtype)
+    g1 = g1_ref[0]  # saved by the forward (value + derivative)
     _accum(dt2b_ref, jnp.sum(dr, axis=1, keepdims=True))  # (T, 1)
     # dg1[e,d] = sum_t t2[e,t] dr[t,d]
     dg1 = jax.lax.dot_general(
         t2_ref[:], drd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    da1f = dg1 * dgelu1
+    da1f = dg1 * dgelu1_ref[0].astype(jnp.float32)
     da1 = da1f.astype(dtype)
     _accum(dt1b_ref, jnp.sum(da1f, axis=1, keepdims=True))  # (Et, 1)
     # dt2[e,t] = sum_d g1[e,d] dr[t,d]
@@ -474,38 +479,43 @@ def _block_args(x, p, dtype):
 def _fwd_res(x, p, dtype, interpret):
     args, in_specs, (b, t, d, et, ec) = _block_args(x, p, dtype)
     elem = lambda i: (i, 0, 0)
-    out, a1, r, a3 = pl.pallas_call(
+    out, g1, dg1, r, g3, dg3 = pl.pallas_call(
         functools.partial(_block_res_kernel, dtype=dtype),
         grid=(b,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, t, d), dtype),
             jax.ShapeDtypeStruct((b, et, d), dtype),
+            jax.ShapeDtypeStruct((b, et, d), dtype),
             jax.ShapeDtypeStruct((b, t, d), dtype),
+            jax.ShapeDtypeStruct((b, t, ec), dtype),
             jax.ShapeDtypeStruct((b, t, ec), dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return out, a1, r, a3
+    return out, g1, dg1, r, g3, dg3
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
-def _channel_bwd(dout, r, a3, p, dtype, interpret):
+def _channel_bwd(dout, r, g3, dgelu3, p, dtype, interpret):
     b, t, d = dout.shape
-    ec = a3.shape[-1]
+    ec = g3.shape[-1]
     const = lambda i: (0, 0)
     elem = lambda i: (i, 0, 0)
     args = (
         dout,
         r,
-        a3,
+        g3,
+        dgelu3,
         p["channel_norm"]["scale"].reshape(1, d).astype(jnp.float32),
         p["channel_norm"]["bias"].reshape(1, d).astype(jnp.float32),
         p["channel_fc1"]["kernel"].astype(dtype),
@@ -514,6 +524,7 @@ def _channel_bwd(dout, r, a3, p, dtype, interpret):
     in_specs = [
         pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
@@ -548,15 +559,16 @@ def _channel_bwd(dout, r, a3, p, dtype, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
-def _token_bwd(dr, x, a1, p, dtype, interpret):
+def _token_bwd(dr, x, g1, dgelu1, p, dtype, interpret):
     b, t, d = x.shape
-    et = a1.shape[1]
+    et = g1.shape[1]
     const = lambda i: (0, 0)
     elem = lambda i: (i, 0, 0)
     args = (
         dr,
         x.astype(dtype),
-        a1,
+        g1,
+        dgelu1,
         p["token_norm"]["scale"].reshape(1, d).astype(jnp.float32),
         p["token_norm"]["bias"].reshape(1, d).astype(jnp.float32),
         p["token_fc1"].astype(dtype),
@@ -565,6 +577,7 @@ def _token_bwd(dr, x, a1, p, dtype, interpret):
     in_specs = [
         pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
@@ -605,20 +618,20 @@ def fused_mixer_block_train(x, p, dtype=jnp.float32, interpret=False):
     adjoint of the kernel math — consistent with the fused forward and within
     f32-accumulation rounding of the XLA module path's autodiff (pinned by
     tests/test_fused_mixer.py::TestTrainGrads)."""
-    out, _, _, _ = _fwd_res(x, p, dtype, interpret)
+    out, _, _, _, _, _ = _fwd_res(x, p, dtype, interpret)
     return out
 
 
 def _fused_train_fwd(x, p, dtype, interpret):
-    out, a1, r, a3 = _fwd_res(x, p, dtype, interpret)
-    return out, (x, p, a1, r, a3)
+    out, g1, dg1, r, g3, dg3 = _fwd_res(x, p, dtype, interpret)
+    return out, (x, p, g1, dg1, r, g3, dg3)
 
 
 def _fused_train_bwd(dtype, interpret, res, dout):
-    x, p, a1, r, a3 = res
+    x, p, g1, dg1, r, g3, dg3 = res
     dout = dout.astype(jnp.float32)
-    dr, dw1, db1, dw2, db2, dls2, dlb2 = _channel_bwd(dout, r, a3, p, dtype, interpret)
-    dx, dt1, dt1b, dt2, dt2b, dls1, dlb1 = _token_bwd(dr, x, a1, p, dtype, interpret)
+    dr, dw1, db1, dw2, db2, dls2, dlb2 = _channel_bwd(dout, r, g3, dg3, p, dtype, interpret)
+    dx, dt1, dt1b, dt2, dt2b, dls1, dlb1 = _token_bwd(dr, x, g1, dg1, p, dtype, interpret)
     d = x.shape[-1]
     t = dt1.shape[0]
     et = dt1.shape[1]

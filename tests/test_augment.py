@@ -3,6 +3,7 @@ sanity for warps, PRNG determinism, probability gating."""
 
 import jax
 import jax.numpy as jnp
+import math
 import numpy as np
 import pytest
 import torch
@@ -335,3 +336,276 @@ class TestElasticTpsParity:
             fn = A.build_augment_pipeline([code], cut_size=12)[0]
             g = jax.grad(lambda im: jnp.sum(fn(jax.random.PRNGKey(3), im)))(x)
             assert bool(jnp.isfinite(g).all())
+
+
+# ---------------------------------------- Af/Pe/Ji/Er kornia 0.5.10 parity
+#
+# The DEFAULT training augs (main.py:164: Af, Pe, Ji, Er) get the same
+# vendored-oracle treatment as Et/Ts: torch f64 reimplementations of kornia
+# 0.5.10's apply math (driving torch's real F.grid_sample, incl. the
+# normalize-with-(w-1)-but-sample-align_corners=False quirk) checked against
+# the jax apply fns under INJECTED parameters (fixed-draw parity), plus
+# distribution tests on the samplers (kornia's ranges and, for Er, its
+# two-part aspect mixture — which is NOT torchvision's log-uniform).
+
+
+def _t_normal_transform_pixel(h, w):
+    return torch.tensor(
+        [[2.0 / (w - 1), 0, -1], [0, 2.0 / (h - 1), -1], [0, 0, 1]],
+        dtype=torch.float64,
+    )
+
+
+def _t_kornia_warp(x_nhwc, m_pix, padding_mode):
+    """kornia warp_affine/warp_perspective core: pixel matrix -> normalized via
+    normal_transform_pixel ((w-1) convention), inverted, applied to the
+    align-corners meshgrid, sampled with align_corners=False."""
+    x = torch.tensor(x_nhwc, dtype=torch.float64).permute(0, 3, 1, 2)
+    b, _, h, w = x.shape
+    n = _t_normal_transform_pixel(h, w)
+    m_norm = n[None] @ m_pix @ torch.linalg.inv(n)[None]
+    inv = torch.linalg.inv(m_norm)
+    grid = _t_meshgrid_norm(h, w).reshape(1, -1, 2).expand(b, -1, -1)
+    ones = torch.ones(b, grid.shape[1], 1, dtype=torch.float64)
+    pts = torch.cat([grid, ones], -1) @ inv.transpose(1, 2)
+    pts = pts[..., :2] / pts[..., 2:3]
+    out = torch.nn.functional.grid_sample(
+        x, pts.reshape(b, h, w, 2), mode="bilinear",
+        padding_mode=padding_mode, align_corners=False,
+    )
+    return out.permute(0, 2, 3, 1).numpy()
+
+
+def _t_affine_matrix(ang_deg, tx, ty, h, w):
+    """kornia get_affine_matrix2d: OpenCV get_rotation_matrix2d about the
+    (w-1)/2 center + translation added to the last column."""
+    b = len(ang_deg)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    a = torch.cos(torch.tensor(ang_deg, dtype=torch.float64) * math.pi / 180)
+    be = torch.sin(torch.tensor(ang_deg, dtype=torch.float64) * math.pi / 180)
+    tx = torch.tensor(tx, dtype=torch.float64)
+    ty = torch.tensor(ty, dtype=torch.float64)
+    m = torch.zeros(b, 3, 3, dtype=torch.float64)
+    m[:, 0, 0] = a
+    m[:, 0, 1] = be
+    m[:, 0, 2] = (1 - a) * cx - be * cy + tx
+    m[:, 1, 0] = -be
+    m[:, 1, 1] = a
+    m[:, 1, 2] = be * cx + (1 - a) * cy + ty
+    m[:, 2, 2] = 1.0
+    return m
+
+
+def _t_perspective_matrix(start, end):
+    """kornia get_perspective_transform: DLT solve start -> end."""
+    b = start.shape[0]
+    src = torch.tensor(start, dtype=torch.float64)
+    dst = torch.tensor(end, dtype=torch.float64)
+    x, y = src[..., 0], src[..., 1]
+    u, v = dst[..., 0], dst[..., 1]
+    zeros = torch.zeros_like(x)
+    ones = torch.ones_like(x)
+    ru = torch.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], -1)
+    rv = torch.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], -1)
+    A = torch.cat([ru, rv], 1)
+    rhs = torch.cat([u, v], 1).unsqueeze(-1)
+    p = torch.linalg.solve(A, rhs)[..., 0]
+    m = torch.cat([p, torch.ones(b, 1, dtype=torch.float64)], 1).reshape(b, 3, 3)
+    return m
+
+
+class TestAffinePerspectiveKorniaParity:
+    def test_affine_fixed_draw_matches_kornia_math(self, rng):
+        x = rng.uniform(size=(3, 24, 20, 3)).astype(np.float32)
+        ang = [7.5, -12.0, 0.0]
+        tx = [1.5, -2.0, 0.6]
+        ty = [-1.0, 2.2, 0.0]
+        got = A.af_apply(
+            jnp.asarray(x), jnp.asarray(ang, jnp.float32),
+            jnp.asarray(tx, jnp.float32), jnp.asarray(ty, jnp.float32),
+            "border", 0,
+        )
+        m = _t_affine_matrix(ang, tx, ty, 24, 20)
+        want = _t_kornia_warp(x, m, "border")
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_rotation_fixed_draw_matches_kornia_math(self, rng):
+        # Ro shares af_apply with zeros padding (RandomRotation, main.py:180)
+        x = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+        ang = [10.0, -4.0]
+        zeros = jnp.zeros((2,), jnp.float32)
+        got = A.af_apply(jnp.asarray(x), jnp.asarray(ang, jnp.float32), zeros, zeros, "zeros", 0)
+        want = _t_kornia_warp(x, _t_affine_matrix(ang, [0, 0], [0, 0], 16, 16), "zeros")
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_perspective_fixed_draw_matches_kornia_math(self, rng):
+        h, w = 20, 24
+        x = rng.uniform(size=(2, h, w, 3)).astype(np.float32)
+        base = np.asarray(
+            [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]],
+            np.float32,
+        )
+        signs = np.asarray([[1, 1], [-1, 1], [-1, -1], [1, -1]], np.float32)
+        disp = rng.uniform(size=(2, 4, 2)).astype(np.float32) * np.asarray(
+            [w, h], np.float32
+        ) * 0.35 * signs
+        start = np.tile(base[None], (2, 1, 1))
+        end = start + disp
+        got = A.pe_apply(jnp.asarray(x), jnp.asarray(start), jnp.asarray(end))
+        want = _t_kornia_warp(x, _t_perspective_matrix(start, end), "zeros")
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+
+    def test_af_sampler_distribution(self):
+        ang, tx, ty = A.af_sample(jax.random.PRNGKey(0), 4000, 32, 48, 15.0, 0.1)
+        ang, tx, ty = map(np.asarray, (ang, tx, ty))
+        assert np.abs(ang).max() <= 15.0 and np.abs(ang).max() > 13.0
+        assert np.abs(tx).max() <= 0.1 * 48 and np.abs(ty).max() <= 0.1 * 32
+        assert abs(ang.mean()) < 1.0  # symmetric
+        # uniform, not normal: std of U(-15,15) is 15/sqrt(3) ~ 8.66
+        assert abs(ang.std() - 8.66) < 0.5
+
+    def test_pe_sampler_pulls_corners_inward(self):
+        start, end = A.pe_sample(jax.random.PRNGKey(1), 2000, 20, 24, 0.7)
+        disp = np.asarray(end - start)
+        # sign pattern: corner 0 moves right/down (+x, +y); corner 2 left/up
+        assert (disp[:, 0] >= 0).all() and (disp[:, 2] <= 0).all()
+        assert disp[:, :, 0].__abs__().max() <= 0.35 * 24 + 1e-4
+        assert disp[:, :, 1].__abs__().max() <= 0.35 * 20 + 1e-4
+
+
+class TestColorJitterKorniaParity:
+    def _t_rgb_to_hsv(self, x):
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        maxc = x.max(-1).values
+        minc = x.min(-1).values
+        v = maxc
+        delta = maxc - minc
+        s = torch.where(maxc > 0, delta / maxc.clamp(min=1e-8), torch.zeros_like(maxc))
+        safe = delta.clamp(min=1e-8)
+        rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+        h = torch.where(
+            maxc == r, bc - gc, torch.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+        )
+        h = torch.where(delta > 0, (h / 6.0) % 1.0, torch.zeros_like(h))
+        return h, s, v
+
+    def _t_hsv_to_rgb(self, h, s, v):
+        i = torch.floor(h * 6.0)
+        f = h * 6.0 - i
+        p = v * (1 - s)
+        q = v * (1 - f * s)
+        t = v * (1 - (1 - f) * s)
+        i = i.long() % 6
+        sel = lambda vals: torch.stack(vals, -1).gather(-1, i.unsqueeze(-1))[..., 0]
+        r = sel([v, q, p, p, t, v])
+        g = sel([t, v, v, q, p, p])
+        b = sel([p, p, t, v, v, q])
+        return torch.stack([r, g, b], -1)
+
+    def _t_kornia_jitter(self, x_nhwc, bf, cf, sf, hf, order):
+        """kornia 0.5.10 ColorJitter.apply_transform: brightness ADDITIVE
+        (input + (factor-1), clamped), contrast PURE SCALE (input * factor,
+        clamped), saturation scale in HSV (clamped), modular hue shift
+        (adjust_hue factor*2pi == `factor` turns); applied in the sampled
+        randperm order, each as its own HSV round trip."""
+        x = torch.tensor(x_nhwc, dtype=torch.float64)
+        bf = torch.tensor(bf, dtype=torch.float64).view(-1, 1, 1, 1)
+        cf = torch.tensor(cf, dtype=torch.float64).view(-1, 1, 1, 1)
+        sf = torch.tensor(sf, dtype=torch.float64).view(-1, 1, 1)
+        hf = torch.tensor(hf, dtype=torch.float64).view(-1, 1, 1)
+
+        def t_b(img):
+            return (img + (bf - 1)).clamp(0, 1)
+
+        def t_c(img):
+            return (img * cf).clamp(0, 1)
+
+        def t_s(img):
+            h, s, v = self._t_rgb_to_hsv(img)
+            return self._t_hsv_to_rgb(h, (s * sf).clamp(0, 1), v)
+
+        def t_h(img):
+            h, s, v = self._t_rgb_to_hsv(img)
+            return self._t_hsv_to_rgb((h + hf) % 1.0, s, v)
+
+        fns = [t_b, t_c, t_s, t_h]
+        for idx in order:
+            x = fns[idx](x)
+        return x.numpy()
+
+    def test_ji_fixed_draw_matches_kornia_math(self, rng):
+        x = rng.uniform(size=(3, 12, 12, 3)).astype(np.float32)
+        bf = np.asarray([1.05, 0.92, 1.0], np.float32)
+        cf = np.asarray([0.95, 1.08, 1.0], np.float32)
+        sf = np.asarray([1.1, 0.9, 1.02], np.float32)
+        hf = np.asarray([0.07, -0.05, 0.0], np.float32)
+        for order in ([0, 1, 2, 3], [3, 2, 1, 0], [2, 0, 3, 1]):
+            got = A.ji_apply(
+                jnp.asarray(x), jnp.asarray(bf), jnp.asarray(cf),
+                jnp.asarray(sf), jnp.asarray(hf), jnp.asarray(order),
+            )
+            want = self._t_kornia_jitter(x, bf, cf, sf, hf, order)
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_ji_sampler_distribution(self):
+        bf, cf, sf, hf, order = A.ji_sample(
+            jax.random.PRNGKey(2), 5000, brightness=0.0, contrast=0.0,
+            saturation=0.1, hue=0.1,
+        )
+        assert np.allclose(np.asarray(bf), 1.0) and np.allclose(np.asarray(cf), 1.0)
+        sf, hf = np.asarray(sf), np.asarray(hf)
+        assert sf.min() >= 0.9 and sf.max() <= 1.1 and abs(sf.mean() - 1.0) < 0.005
+        assert hf.min() >= -0.1 and hf.max() <= 0.1 and abs(hf.mean()) < 0.005
+        assert sorted(np.asarray(order).tolist()) == [0, 1, 2, 3]
+
+
+class TestErasingKorniaParity:
+    def test_er_fixed_draw_matches_kornia_mask(self, rng):
+        x = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+        x0 = jnp.asarray([3.4, 0.0], jnp.float32)
+        y0 = jnp.asarray([2.7, 10.0], jnp.float32)
+        ew = jnp.asarray([5.0, 4.0], jnp.float32)
+        eh = jnp.asarray([4.0, 6.0], jnp.float32)
+        got = np.asarray(A.er_apply(jnp.asarray(x), x0, y0, ew, eh))
+        # kornia bbox_to_mask: integer pixel j erased iff x0 <= j <= x0+ew-1
+        want = x.copy()
+        for b, (xx, yy, w_, h_) in enumerate(zip([3.4, 0.0], [2.7, 10.0], [5, 4], [4, 6])):
+            for j in range(16):
+                for i in range(16):
+                    if xx <= i <= xx + w_ - 1 and yy <= j <= yy + h_ - 1:
+                        want[b, j, i] = 0.0
+        np.testing.assert_allclose(got, want, atol=0)
+
+    def test_er_sampler_two_part_mixture_not_loguniform(self):
+        """kornia 0.5.10 draws the aspect from uniform(r0,1)/uniform(1,r1)
+        coin-flipped — P(aspect < 0.65) = 0.25, where torchvision's
+        log-uniform would give 0.32. Also: integer box sides in [1, side]."""
+        x0, y0, ew, eh = A.er_sample(
+            jax.random.PRNGKey(3), 20000, 64, 64, (0.1, 0.4), (0.3, 1 / 0.3)
+        )
+        ew, eh = np.asarray(ew), np.asarray(eh)
+        aspect_proxy = eh / ew  # round() blurs aspect slightly; proxy is fine
+        frac = float((aspect_proxy < 0.65).mean())
+        assert 0.20 < frac < 0.30, frac  # log-uniform would sit near 0.32
+        assert np.allclose(ew, np.round(ew)) and np.allclose(eh, np.round(eh))
+        assert ew.min() >= 1 and eh.min() >= 1 and ew.max() <= 64 and eh.max() <= 64
+        x0, y0 = np.asarray(x0), np.asarray(y0)
+        assert (x0 >= 0).all() and (x0 <= 64 - ew + 1).all()
+        assert (y0 >= 0).all() and (y0 <= 64 - eh + 1).all()
+
+    def test_ji_default_fast_path_equals_ordered(self, rng):
+        """brightness == contrast == 0 (the default 'Ji'): the joint one-pass
+        sat+hue application must equal the kornia ordered path for any order."""
+        x = jnp.asarray(rng.uniform(size=(4, 10, 10, 3)), jnp.float32)
+        ones = jnp.ones((4,), jnp.float32)
+        sf = jnp.asarray([1.08, 0.93, 1.0, 0.9], jnp.float32)
+        hf = jnp.asarray([0.04, -0.09, 0.0, 0.1], jnp.float32)
+        hsv = A.rgb_to_hsv(x)
+        ss = jnp.clip(hsv[..., 1] * sf.reshape(-1, 1, 1), 0.0, 1.0)
+        hh = (hsv[..., 0] + hf.reshape(-1, 1, 1)) % 1.0
+        joint = A.hsv_to_rgb(jnp.stack([hh, ss, hsv[..., 2]], axis=-1))
+        for order in ([0, 1, 2, 3], [3, 2, 1, 0], [1, 3, 0, 2]):
+            ordered = A.ji_apply(x, ones, ones, sf, hf, jnp.asarray(order))
+            np.testing.assert_allclose(
+                np.asarray(joint), np.asarray(ordered), atol=2e-6
+            )

@@ -188,6 +188,7 @@ def _fake_rn_state_dict(rng, cloob_layout=False):
     return sd
 
 
+@pytest.mark.slow
 class TestRNConverter:
     @pytest.mark.parametrize("cloob_layout", [False, True])
     def test_structure_and_apply(self, rng, cloob_layout):
@@ -292,6 +293,7 @@ class TestCrowsonCLOOB:
         assert np.isfinite(np.asarray(te)).all() and np.isfinite(np.asarray(ie)).all()
 
 
+@pytest.mark.slow
 class TestLoadCloobDispatch:
     def test_crowson_random_init(self):
         p = load_cloob("cloob_laion_400m_vit_b_16_32_epochs")

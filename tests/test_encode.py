@@ -59,6 +59,7 @@ class TestFolderEncoder:
         assert not np.allclose(z["y"][0], z["y"][2])
 
 
+@pytest.mark.slow
 class TestWebdatasetEncoder:
     def test_tars_to_npz_with_corrupt_sample(self, tmp_path):
         p = str(tmp_path / "shard0.tar")

@@ -5,6 +5,7 @@ train_prior loop end-to-end."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from feed_forward_vqgan_clip_tpu.io import torch_import as ti
 from feed_forward_vqgan_clip_tpu.models.flow import (
@@ -157,6 +158,7 @@ class TestConverter:
         assert m.in_channels == C and m.conditioning_dim == D
 
 
+@pytest.mark.slow
 class TestTrainPriorE2E:
     def test_train_prior_loop(self, tmp_path, rng):
         np.savez(

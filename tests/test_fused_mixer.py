@@ -132,6 +132,7 @@ def _assert_grads_close(gp_got, gx_got, gp_ref, gx_ref, rel=1e-2):
             )
 
 
+@pytest.mark.slow
 class TestTrainGrads:
     """Pallas fused-block backward (custom_vjp) vs XLA autodiff of the module
     path: input grad + every param grad, interpret mode on CPU."""

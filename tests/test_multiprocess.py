@@ -10,9 +10,12 @@ Replaces the reference's never-tested Horovod layer (main.py:528-531, 626-629).
 
 import os
 
+import pytest
+
 from feed_forward_vqgan_clip_tpu.parallel.multiproc import run_two_process_dryrun
 
 
+@pytest.mark.slow
 def test_two_process_train_step(tmp_path):
     folder = run_two_process_dryrun(tmp=str(tmp_path))
     # primary-only writes: checkpoint + previews + sidecars exist exactly once

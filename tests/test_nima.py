@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from feed_forward_vqgan_clip_tpu.io import torch_import as ti
 from feed_forward_vqgan_clip_tpu.models.nima import NIMA
 
 
+@pytest.mark.slow
 class TestNimaModule:
     def test_scores_are_mos_in_range(self, rng):
         m = NIMA(backbone="inception_v3")
@@ -100,6 +102,7 @@ class TestQualityFilterWiring:
             assert len(z["x"]) == len(z["y"]) == 2
 
 
+@pytest.mark.slow
 class TestInceptionResNetV2Oracle:
     """Parity of the IRv2 trunk + NIMA head against a vendored minimal torch
     reimplementation of the Cadene/timm `inception_resnet_v2` module layout —

@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from feed_forward_vqgan_clip_tpu.config import make_config
 from feed_forward_vqgan_clip_tpu.models.inception import InceptionV3Features
 from feed_forward_vqgan_clip_tpu.io import torch_import as ti
 
 
+@pytest.mark.slow
 class TestInception:
     def test_feature_shape_and_channel_arithmetic(self, rng):
         m = InceptionV3Features()
@@ -64,6 +66,7 @@ class TestInception:
         np.testing.assert_allclose(frechet_distance(a, b), 16 * 9.0, rtol=1e-3)
 
 
+@pytest.mark.slow
 class TestPredictor:
     def _train_tiny(self, tmp_path, name):
         from feed_forward_vqgan_clip_tpu.train.loop import train
@@ -113,6 +116,7 @@ class TestPredictor:
         assert w > 8 and h > 8  # 2x2 grid of 8px tiles + padding
 
 
+@pytest.mark.slow
 class TestInferCLI:
     def test_test_command_prompts_and_grid(self, tmp_path, monkeypatch):
         """The reference `test` surface (main.py:977-1061): '|'-separated prompts
@@ -145,6 +149,7 @@ class TestInferCLI:
         assert w2 > w1  # 3 columns vs 2
 
 
+@pytest.mark.slow
 class TestGradioApp:
     def test_app_fn_contract_all_input_combinations(self, tmp_path, monkeypatch):
         """Drive serve/app.py's callback directly (gradio absent in this image):

@@ -8,6 +8,7 @@ TP-sharded params runs and matches the replicated result.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from feed_forward_vqgan_clip_tpu.models.mappers import build_mapper
@@ -72,6 +73,7 @@ class TestRuleAssignment:
         assert all(s == P() for s in specs.values())
 
 
+@pytest.mark.slow
 class TestShardedForwardParity:
     def test_tp_forward_matches_replicated(self):
         for mt in ("mlp_mixer", "vitgan", "xtransformer"):

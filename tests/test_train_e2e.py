@@ -59,6 +59,7 @@ def feature_data(tmp_path):
     return path
 
 
+@pytest.mark.slow
 class TestTrainE2E:
     def test_token_dataset_full_flow(self, tmp_path, token_data):
         """Train on tokens, check artifacts, resume, then run inference."""

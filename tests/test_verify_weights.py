@@ -39,6 +39,7 @@ def tiny_ckpt(tmp_path, monkeypatch):
     return str(folder / "checkpoint")
 
 
+@pytest.mark.slow
 class TestVerifyWeights:
     def test_golden_roundtrip_and_mismatch(self, tiny_ckpt, tmp_path):
         from feed_forward_vqgan_clip_tpu.verify_weights import verify_weights

@@ -108,9 +108,13 @@ class _TXTransformer(torch.nn.Module):
         self.input_dim, self.image_size, self.channels = input_dim, image_size, channels
         self.dim, self.add_input, self.initial_proj = dim, add_input, initial_proj
         n = image_size * image_size
+        # transformer.py:15: max_seq_len = n + (0 if add_input else 1)
+        # UNCONDITIONALLY — initial_proj=True + add_input=False therefore
+        # allocates one pos-emb row that forward never indexes (seq len is n
+        # in that mode); the converter truncates it.
         self.transformer = _TWrapper(
             dim_in=dim if initial_proj else input_dim, dim_out=channels,
-            max_seq_len=n + (0 if add_input else 1) if not initial_proj else n,
+            max_seq_len=n + (0 if add_input else 1),
             dim=dim, depth=depth, heads=heads, dim_head=dim_head,
         )
         if initial_proj:
@@ -176,3 +180,64 @@ def test_load_model_accepts_xtransformer_th(tmp_path):
     with torch.no_grad():
         want = tnet(torch.tensor(x)).numpy()
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_state_dict_key_grammar_audit():
+    """Key-by-key audit of the vendored 0.19.1 layout (VERDICT r2 item 2):
+    the synthesized state dict must carry EXACTLY the key grammar of the
+    published x-transformers 0.19.1 module tree, verified here against a
+    hand-written expectation so the vendored oracle and the converter cannot
+    drift together silently. Audit notes vs the published 0.19.1 source:
+      * ContinuousTransformerWrapper: project_in (biased Linear), pos_emb =
+        AbsolutePositionalEmbedding holding ONE nn.Embedding at `.emb` (no
+        scale parameter at this pin — the l2norm/scale variants landed later),
+        attn_layers, final `norm` LayerNorm applied INSIDE the wrapper before
+        project_out (AttentionLayers itself ends without a norm at 0.19.1).
+      * Decoder = AttentionLayers(causal=True): layers is a ModuleList of
+        ModuleList[LayerNorm, layer, Residual] triples, default pre-norm,
+        alternating attention (even idx) / feedforward (odd idx); Residual has
+        no params so contributes no keys.
+      * Attention: bias-free to_q/to_k/to_v, biased to_out; no talking-heads,
+        gating, or qk-norm params at defaults.
+      * FeedForward: net = Sequential(Sequential(Linear, GELU), Dropout,
+        Linear) -> keys net.0.0.{weight,bias}, net.2.{weight,bias} (glu off).
+    """
+    torch.manual_seed(0)
+    tnet = _TXTransformer(input_dim=48, image_size=4, channels=24, dim=32,
+                          depth=2, heads=2, dim_head=16,
+                          initial_proj=True, add_input=True)
+    got = set(tnet.state_dict().keys())
+    expected = {"proj.weight", "proj.bias"}
+    t = "transformer"
+    expected |= {
+        f"{t}.project_in.weight", f"{t}.project_in.bias",
+        f"{t}.pos_emb.emb.weight",
+        f"{t}.norm.weight", f"{t}.norm.bias",
+        f"{t}.project_out.weight", f"{t}.project_out.bias",
+    }
+    for i in range(2):
+        a = f"{t}.attn_layers.layers.{2 * i}"
+        f = f"{t}.attn_layers.layers.{2 * i + 1}"
+        expected |= {
+            f"{a}.0.weight", f"{a}.0.bias",
+            f"{a}.1.to_q.weight", f"{a}.1.to_k.weight", f"{a}.1.to_v.weight",
+            f"{a}.1.to_out.weight", f"{a}.1.to_out.bias",
+            f"{f}.0.weight", f"{f}.0.bias",
+            f"{f}.1.net.0.0.weight", f"{f}.1.net.0.0.bias",
+            f"{f}.1.net.2.weight", f"{f}.1.net.2.bias",
+        }
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
+
+
+def test_pos_emb_extra_row_truncated():
+    """initial_proj=True + add_input=False: the checkpoint pos table has n+1
+    rows but the forward only ever indexes the first n — the converter must
+    truncate (and parity must hold end-to-end, covered by the parametrized
+    test above)."""
+    tnet = _TXTransformer(input_dim=48, image_size=4, channels=24, dim=32,
+                          depth=1, heads=2, dim_head=16,
+                          initial_proj=True, add_input=False)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    assert sd["transformer.pos_emb.emb.weight"].shape[0] == 17  # n + 1
+    params = convert_xtransformer(sd, depth=1)
+    assert params["params"]["pos_emb"].shape[0] == 16  # truncated to n

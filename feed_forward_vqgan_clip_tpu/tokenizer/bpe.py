@@ -65,6 +65,12 @@ def bytes_to_unicode():
 
 
 def _clean(text: str) -> str:
+    """CLIP's basic_clean + whitespace_clean (clip/simple_tokenizer.py):
+    ftfy.fix_text (vendored caption-relevant subset, tokenizer/text_fix.py)
+    then double html-unescape, whitespace collapse, lowercase."""
+    from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+    text = fix_text(text)
     text = html.unescape(html.unescape(text))
     text = _re.sub(r"\s+", " ", text)
     return text.strip().lower()

@@ -110,3 +110,50 @@ class TestRealVocab:
         # golden vector: clip.tokenize("a photo of a cat") body
         t = ClipTokenizer()
         assert t.encode("a photo of a cat") == [320, 1125, 539, 320, 2368]
+
+
+class TestTextFix:
+    """Mini-ftfy (tokenizer/text_fix.py): the fix_text subset CLIP's
+    basic_clean applies before BPE."""
+
+    def test_classic_single_mojibake(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        assert fix_text("cafÃ©") == "café"
+        assert fix_text("SÃ£o Paulo") == "São Paulo"
+
+    def test_double_mojibake_unwinds(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        s = "café"
+        once = s.encode("utf-8").decode("latin-1")
+        twice = once.encode("utf-8").decode("latin-1")
+        assert fix_text(twice) == s
+
+    def test_curly_quotes_and_c1(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        assert fix_text("doesn’t") == "doesn't"
+        # raw C1 0x92 is windows-1252 right-single-quote, then uncurled
+        assert fix_text("doesn\x92t") == "doesn't"
+        # the cp1252-mojibake form of the curly apostrophe
+        assert fix_text("doesnâ€™t") == "doesn't"
+
+    def test_width_fold_nfc_and_controls(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        assert fix_text("ＡＢＣ") == "ABC"
+        assert fix_text("é") == "é"  # NFC composes
+        assert fix_text("a\x00b\x1b[31mc") == "abc"
+        assert fix_text("a\r\nb\rc") == "a\nb\nc"
+
+    def test_clean_text_untouched(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        for s in ("a photo of a dog", "château én forêt", "русский текст", "日本語"):
+            assert fix_text(s) == s
+
+    def test_tokenizer_clean_applies_fix(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.bpe import _clean
+
+        assert _clean("DoesnÃ¢â‚¬â„¢t  Matter") == "doesn't matter"

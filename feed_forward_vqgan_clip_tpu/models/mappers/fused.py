@@ -99,17 +99,16 @@ def fused_mixer_train_forward(mapper: Mixer, variables, x, *, interpret=False):
 
 def make_mapper_train_apply(mapper, *, fused=None, interpret=False):
     """(params, x) -> z dispatcher for DIFFERENTIABLE deterministic forwards
-    (the train step's dropout==0 path). Currently OPT-IN (FFVC_FUSED_TRAIN=1):
-    at the train batch of 8 the per-block kernel-launch/pipeline-fill overhead
-    outweighs the HBM savings (measured 51.2 ms fused vs 46.5 ms XLA fwd+bwd,
-    BENCH_NOTES.md round 3) — the default stays on the XLA path until the
-    streaming whole-mapper backward lands."""
+    (the train step's dropout==0 path). Same auto-gating as make_mapper_apply
+    (Pallas on TPU, module path on CPU); FFVC_FUSED_TRAIN=0 reverts to XLA.
+    The Pallas train path saves GELU values + derivatives from the forward
+    kernel so the backward never re-runs the polynomial chain (BENCH_NOTES.md
+    round 3: 209.6 -> 195.8 ms full step, vs 197.4 on the XLA path)."""
     import os
 
-    env = os.environ.get("FFVC_FUSED_TRAIN", "")
-    if env in ("", "0", "false"):
-        fused = False if fused is None else fused
-    elif fused is None:
+    if os.environ.get("FFVC_FUSED_TRAIN", "1") in ("0", "false"):
+        fused = False
+    if fused is None:
         try:
             fused = jax.default_backend() not in ("cpu",)
         except Exception:

@@ -221,6 +221,9 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
             ck=ck, interpret=_WARP_INTERPRET,
         )
 
+    if uncovered is False:  # static full-window coverage: no cond, no fallback branch
+        return fast(gout).astype(img_sd.dtype)
+
     def slow(g):
         return _xla_adjoint(g, m, img_sd, padding_mode).astype(jnp.float32)
 
@@ -252,6 +255,9 @@ def _pallas_forward(img, m, padding_mode, kind):
             im, m, origins, out_hw=(h, w), tile=tile, cand=cand, border=border,
             interpret=_WARP_INTERPRET,
         )
+
+    if uncovered is False:  # static full-window coverage: no cond, no fallback branch
+        return fast(img.astype(jnp.float32)).astype(img.dtype)
 
     def slow(im):
         return _proj_warp_math(im, m, padding_mode).astype(jnp.float32)

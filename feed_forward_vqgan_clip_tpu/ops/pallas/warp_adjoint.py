@@ -118,7 +118,10 @@ def adjoint_plan(m, in_hw, out_hw, tile, cand):
         # crossings sample far out of frame and get zero hat weight), so
         # coverage is unconditional. Required for border=True (clamping breaks
         # the corner bound below); automatic for projective (pick_cand).
-        return jnp.zeros((b * nty,), jnp.int32), jnp.asarray(False)
+        # Python False (not a traced scalar): callers skip the lax.cond
+        # entirely at trace time, keeping the XLA fallback branch out of the
+        # compiled program.
+        return jnp.zeros((b * nty,), jnp.int32), False
     m_inv = jnp.linalg.inv(m.astype(jnp.float32))  # input->output
 
     # band hat-support corners: s in (-1, w) x (y0-1, y0+t), full width

@@ -61,7 +61,9 @@ def forward_plan(m, in_h, out_hw, tile, cand, border):
         # — out-of-frame samples just get zero hat weight in-kernel), so
         # coverage is unconditional. This is always the case for projective
         # draws (pick_fwd_cand returns full height) — they never fall back.
-        return jnp.zeros((b * nty,), jnp.int32), jnp.asarray(False)
+        # Python False: callers skip the lax.cond at trace time (no XLA
+        # fallback branch in the compiled program).
+        return jnp.zeros((b * nty,), jnp.int32), False
     mf = m.astype(jnp.float32)
 
     ys = jnp.arange(nty, dtype=jnp.float32) * t

@@ -21,6 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: repeat test runs skip XLA recompiles (the fast
+# tier drops from ~7 to ~2 minutes warm). Same cache dir as cli/bench.
+from feed_forward_vqgan_clip_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+# tests compile many small graphs; cache them all (prod keeps the 5 s floor)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

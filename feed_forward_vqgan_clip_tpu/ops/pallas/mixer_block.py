@@ -33,6 +33,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _kernel_ln_hat(x, dtype):
+    """LayerNorm(eps=1e-5) WITHOUT the affine: (x - mean) * inv_std in f32
+    stats. Used by the inference kernel whose channel-LN scale/bias are folded
+    into the following matmul's weights/bias at wrapper level (the fold is a
+    per-call (D, Ec) multiply, repaid by removing a 2-op pass over every
+    (T, D) activation element)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    return ((xf - mean) * inv).astype(dtype)
+
+
 def _kernel_layer_norm(x, scale, bias, dtype):
     """LayerNorm(eps=1e-5), f32 statistics — Mosaic-tuned variant of
     mixer.lean_layer_norm. The flax version folds the affine into per-element
@@ -63,6 +76,8 @@ _ERF_POLY_U = (
 )
 # Shorter 11-coefficient fit (|err| <= 3.3e-4): GELU error stays below bf16
 # activation rounding (2^-8 relative), so the bf16 compute path uses this one.
+# (A 10-term fit measured perf-NEUTRAL on the flagship bench — the remaining
+# mapper gap is not Horner length — so the more accurate set stays.)
 _ERF_POLY_U_BF16 = (
     0.3535185727071676, -0.176754544870115, 0.13245392403933776,
     -0.10406920227586576, 0.08234563002438543, -0.09510300351998768,
@@ -107,10 +122,8 @@ def _block_kernel(
     t1b_ref,
     t2_ref,
     t2b_ref,
-    ln2s_ref,
-    ln2b_ref,
-    w1_ref,
-    b1_ref,
+    w1f_ref,
+    b1f_ref,
     w2_ref,
     b2_ref,
     out_ref,
@@ -140,12 +153,13 @@ def _block_kernel(
     # before GELU of chunk k — measured perf-NEUTRAL at 0/2048/1024/512 chunk
     # sizes: Mosaic already extracts the available MXU/VPU overlap, the stage
     # is VPU-bound on LN+GELU. Experiment removed; see BENCH_NOTES.md.)
-    rn = _kernel_layer_norm(r, ln2s_ref[:], ln2b_ref[:], dtype)  # (T, D)
+    # channel LN's scale/bias are folded into w1f/b1f by the wrapper
+    rhat = _kernel_ln_hat(r, dtype)  # (T, D)
     h3 = jax.lax.dot_general(
-        rn, w1_ref[:], (((1,), (0,)), ((), ())),
+        rhat, w1f_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, Ec) f32
-    g3 = _gelu_exact(h3 + b1_ref[:], dtype).astype(dtype)  # bias (1, Ec)
+    g3 = _gelu_exact(h3 + b1f_ref[:], dtype).astype(dtype)  # bias (1, Ec)
     h4 = jax.lax.dot_general(
         g3, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -162,9 +176,15 @@ def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
     t1 = p["token_fc1"].astype(dtype)  # (T, Et)
     t2 = p["token_fc2"].astype(dtype)  # (Et, T)
     et = t1.shape[1]
-    w1 = p["channel_fc1"]["kernel"].astype(dtype)  # (D, Ec)
+    w1_f32 = p["channel_fc1"]["kernel"].astype(jnp.float32)  # (D, Ec)
     w2 = p["channel_fc2"]["kernel"].astype(dtype)  # (Ec, D)
-    ec = w1.shape[1]
+    ec = w1_f32.shape[1]
+    # fold channel-LN affine into the first channel matmul:
+    # rn @ W1 + b1 = rhat @ (s2[:,None]*W1) + (b2ln @ W1 + b1)
+    s2 = p["channel_norm"]["scale"].astype(jnp.float32)
+    b2ln = p["channel_norm"]["bias"].astype(jnp.float32)
+    w1f = (w1_f32 * s2[:, None]).astype(dtype)
+    b1f = p["channel_fc1"]["bias"].astype(jnp.float32) + b2ln @ w1_f32
 
     const = lambda i: (0, 0)
     args = (
@@ -175,10 +195,8 @@ def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
         p["token_fc1_bias"].reshape(et, 1).astype(jnp.float32),
         t2,
         p["token_fc2_bias"].reshape(t, 1).astype(jnp.float32),
-        p["channel_norm"]["scale"].reshape(1, d).astype(jnp.float32),
-        p["channel_norm"]["bias"].reshape(1, d).astype(jnp.float32),
-        w1,
-        p["channel_fc1"]["bias"].reshape(1, ec).astype(jnp.float32),
+        w1f,
+        b1f.reshape(1, ec),
         w2,
         p["channel_fc2"]["bias"].reshape(1, d).astype(jnp.float32),
     )
@@ -190,8 +208,6 @@ def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
         pl.BlockSpec((et, 1), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((et, t), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((t, 1), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ec), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),

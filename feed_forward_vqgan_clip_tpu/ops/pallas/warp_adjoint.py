@@ -70,14 +70,24 @@ _DOT_MODE = os.environ.get("FFVC_WARP_DOT_PRECISION", "bf16x3")
 assert _DOT_MODE in ("highest", "bf16x3"), _DOT_MODE
 
 
-def _mxu_dot(a, b, dims):
-    """f32-quality dot for the hat contractions (see _DOT_MODE)."""
-    if _DOT_MODE == "bf16x3":
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        bh = b.astype(jnp.bfloat16)
-        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+def _bf16_split(a):
+    """(hi, lo, original) triple for the bf16x3 decomposition; pre-split once
+    when an operand is reused across several _mxu_dot calls (the per-channel
+    loops were re-splitting the big shared hat factor 3x — measured VPU
+    waste, BENCH_NOTES.md round 3). In `highest` mode the split is skipped
+    (the full-precision dot consumes the f32 original)."""
+    if _DOT_MODE != "bf16x3":
+        return (None, None, a)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (ah, al, a)
 
+
+def _mxu_dot_split(a3, b3, dims):
+    """f32-quality dot on pre-split operands from _bf16_split."""
+    ah, al, a = a3
+    bh, bl, b = b3
+    if _DOT_MODE == "bf16x3":
         def d(x, y):
             return jax.lax.dot_general(
                 x, y, dims, preferred_element_type=jnp.float32
@@ -88,6 +98,11 @@ def _mxu_dot(a, b, dims):
         a, b, dims, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _mxu_dot(a, b, dims):
+    """f32-quality dot for the hat contractions (see _DOT_MODE)."""
+    return _mxu_dot_split(_bf16_split(a), _bf16_split(b), dims)
 
 
 def _proj(m, x, y):
@@ -197,14 +212,16 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - px))  # (CK, Wo, W)
 
         q = ck * wo
+        # the hx factor is channel-independent: bf16x3-split it ONCE per chunk
+        # (the per-channel _mxu_dot used to re-split it 3x)
+        hx3 = _bf16_split(hx.reshape(q, w))
         out = []
         for cc in range(c):
             gc = win_ref[cc, pl.ds(k * ck, ck), :].astype(jnp.float32)
             hyg = hy * gc.reshape(ck, wo, 1)
-            # _mxu_dot: f32-quality contraction (see _DOT_MODE above)
-            out.append(accs[cc] + _mxu_dot(
-                hyg.reshape(q, t),
-                hx.reshape(q, w),
+            out.append(accs[cc] + _mxu_dot_split(
+                _bf16_split(hyg.reshape(q, t)),
+                hx3,
                 (((0,), (0,)), ((), ())),
             ))
         return tuple(out)

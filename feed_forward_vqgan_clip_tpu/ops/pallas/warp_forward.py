@@ -43,7 +43,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import _mxu_dot, _proj
+from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import (
+    _bf16_split,
+    _mxu_dot_split,
+    _proj,
+)
 
 
 def forward_plan(m, in_h, out_hw, tile, cand, border):
@@ -131,11 +135,12 @@ def _kernel(origins_ref, mats_ref, img_ref, out_ref, win_ref, sem, *,
     hxq = hx.reshape(q, w_pad)
 
     dma.wait()
+    # hyq is channel-independent: bf16x3-split once, reuse for all channels
+    hyq3 = _bf16_split(hyq)
     for cc in range(c):
-        # _mxu_dot: f32-quality contraction (see warp_adjoint._DOT_MODE)
-        tmp = _mxu_dot(
-            hyq,
-            win_ref[cc].astype(jnp.float32),
+        tmp = _mxu_dot_split(
+            hyq3,
+            _bf16_split(win_ref[cc].astype(jnp.float32)),
             (((1,), (0,)), ((), ())),
         )  # (Q, Wp)
         out_ref[0, cc] = jnp.sum(hxq * tmp, axis=1).reshape(t, wo)

@@ -75,6 +75,9 @@ DEFAULTS: Dict[str, Any] = {
     # exact default chain faster than this path was, see BENCH_NOTES.md)
     "vqgan_arch": None,  # inline ddconfig-style dict (smoke configs)
     "compute_dtype": "bfloat16",
+    "aug_dtype": None,  # cutout/augment stage dtype: None = follow compute_dtype
+    # (bf16 warps run the single-pass Pallas kernels — 3x fewer MXU passes);
+    # "float32" restores the f32 aug math whatever compute_dtype says
     "seed": 0,
     "mesh_shape": None,  # e.g. {"data": 8} or {"data": 4, "model": 2}
     "use_pallas": "auto",

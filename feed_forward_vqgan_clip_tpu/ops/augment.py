@@ -167,8 +167,11 @@ def _proj_warp_math(img, m, padding_mode):
 
 
 def _xla_adjoint(gout, m, img_sd, padding_mode):
+    # the .astype matches _dispatch_forward's output cast (bf16 pixels promote
+    # through grid_sample's f32 lerp weights; the transposed fn must agree)
     (gimg,) = jax.linear_transpose(
-        lambda im: _proj_warp_math(im, m, padding_mode), img_sd
+        lambda im: _proj_warp_math(im, m, padding_mode).astype(img_sd.dtype),
+        img_sd,
     )(gout.astype(img_sd.dtype))
     return gimg
 
@@ -192,17 +195,21 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
 
     b, h, w, c = img_sd.shape
     oh, ow = gout.shape[1:3]
-    gout = gout.astype(jnp.float32)
+    # bf16 cotangents (aug stage running in the pipeline's bf16 compute dtype)
+    # keep the single-pass bf16 kernel mode; everything else computes in f32
+    bf16 = img_sd.dtype == jnp.bfloat16 and gout.dtype == jnp.bfloat16
+    align = 16 if bf16 else 8
+    gout = gout.astype(jnp.bfloat16 if bf16 else jnp.float32)
     border = padding_mode == "border"
 
-    if oh % 8 != 0:
+    if oh % align != 0:
         return _xla_adjoint(gout, m, img_sd, padding_mode)
-    full = (oh // 8) * 8
+    full = (oh // align) * align
     tile, ck = pick_tile(h, w, ow, c, full)
     if tile is None:
         return _xla_adjoint(gout, m, img_sd, padding_mode)
     cand = pick_cand(tile, kind, w, oh, border)
-    if cand < 8:
+    if cand < align or cand % align != 0:
         return _xla_adjoint(gout, m, img_sd, padding_mode)
     if cand < full:
         tile, ck = pick_tile(h, w, ow, c, cand)
@@ -213,7 +220,7 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
         if tile is None:
             return _xla_adjoint(gout, m, img_sd, padding_mode)
 
-    origins, uncovered = adjoint_plan(m, (h, w), (oh, ow), tile, cand)
+    origins, uncovered = adjoint_plan(m, (h, w), (oh, ow), tile, cand, align=align)
 
     def fast(g):
         return warp_adjoint(
@@ -225,7 +232,7 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
         return fast(gout).astype(img_sd.dtype)
 
     def slow(g):
-        return _xla_adjoint(g, m, img_sd, padding_mode).astype(jnp.float32)
+        return _xla_adjoint(g, m, img_sd, padding_mode).astype(g.dtype)
 
     return jax.lax.cond(uncovered, slow, fast, gout).astype(img_sd.dtype)
 
@@ -241,14 +248,17 @@ def _pallas_forward(img, m, padding_mode, kind):
     )
 
     b, h, w, c = img.shape
+    bf16 = img.dtype == jnp.bfloat16
+    align = 16 if bf16 else 8
+    kdt = jnp.bfloat16 if bf16 else jnp.float32
     tile = next((t for t in (32, 16, 8) if h % t == 0), None)
-    if tile is None or h % 8 != 0:
+    if tile is None or h % align != 0:
         return _proj_warp_math(img, m, padding_mode)
     border = padding_mode == "border"
     cand = pick_fwd_cand(tile, kind, w, h)
-    if cand < 8:
+    if cand < align or cand % align != 0:
         return _proj_warp_math(img, m, padding_mode)
-    origins, uncovered = forward_plan(m, h, (h, w), tile, cand, border)
+    origins, uncovered = forward_plan(m, h, (h, w), tile, cand, border, align=align)
 
     def fast(im):
         return warp_forward(
@@ -257,20 +267,22 @@ def _pallas_forward(img, m, padding_mode, kind):
         )
 
     if uncovered is False:  # static full-window coverage: no cond, no fallback branch
-        return fast(img.astype(jnp.float32)).astype(img.dtype)
+        return fast(img.astype(kdt)).astype(img.dtype)
 
     def slow(im):
-        return _proj_warp_math(im, m, padding_mode).astype(jnp.float32)
+        return _proj_warp_math(im, m, padding_mode).astype(kdt)
 
     return jax.lax.cond(
-        uncovered, slow, fast, img.astype(jnp.float32)
+        uncovered, slow, fast, img.astype(kdt)
     ).astype(img.dtype)
 
 
 def _dispatch_forward(img, m, padding_mode, kind):
+    # output dtype always equals img dtype (grid_sample's f32 lerp weights
+    # promote bf16 pixels — cast back so the Pallas and XLA paths agree)
     if _fast_fwd_enabled():
-        return _pallas_forward(img, m, padding_mode, kind)
-    return _proj_warp_math(img, m, padding_mode)
+        return _pallas_forward(img, m, padding_mode, kind).astype(img.dtype)
+    return _proj_warp_math(img, m, padding_mode).astype(img.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -569,14 +581,18 @@ def color_jitter(key, x, brightness=0.0, contrast=0.0, saturation=0.1, hue=0.1, 
     b = x.shape[0]
     ks, kp = jax.random.split(key)
     bf, cf, sf, hf, order = ji_sample(ks, b, brightness, contrast, saturation, hue)
+    # HSV math always runs in f32 (hue is an angle in [0,1) — bf16's 8-bit
+    # mantissa would quantize it to ~1.4 deg steps); bf16 inputs only pay two
+    # casts, which XLA fuses into the elementwise chain.
+    xf = x.astype(jnp.float32)
     if brightness == 0.0 and contrast == 0.0:
-        hsv = rgb_to_hsv(x)
+        hsv = rgb_to_hsv(xf)
         ss = jnp.clip(hsv[..., 1] * sf.reshape(-1, 1, 1), 0.0, 1.0)
         hh = (hsv[..., 0] + hf.reshape(-1, 1, 1)) % 1.0
         out = hsv_to_rgb(jnp.stack([hh, ss, hsv[..., 2]], axis=-1))
     else:
-        out = ji_apply(x, bf, cf, sf, hf, order)
-    return _apply_p(kp, p, out, x)
+        out = ji_apply(xf, bf, cf, sf, hf, order)
+    return _apply_p(kp, p, out.astype(x.dtype), x)
 
 
 def er_sample(key, n, h, w, scale=(0.1, 0.4), ratio=(0.3, 1 / 0.3)):

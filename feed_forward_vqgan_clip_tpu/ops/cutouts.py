@@ -84,7 +84,7 @@ class MakeCutouts:
             k_fac, k_noise = keys[-2], keys[-1]
             facs = jax.random.uniform(
                 k_fac, (batch.shape[0], 1, 1, 1), maxval=self.noise_fac
-            )
+            ).astype(batch.dtype)  # keep bf16 batches bf16 (no f32 promotion)
             batch = batch + facs * jax.random.normal(k_noise, batch.shape, batch.dtype)
 
         if self.interpolate:

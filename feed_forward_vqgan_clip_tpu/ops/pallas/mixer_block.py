@@ -305,14 +305,19 @@ def _gelu_val_grad(x, dtype):
 def _block_res_kernel(
     x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    out_ref, g1_ref, dg1_ref, r_ref, g3_ref, dg3_ref, *, dtype,
+    out_ref, g1_ref, dg1_ref, rhat_ref, inv2_ref, g3_ref, dg3_ref,
+    *, dtype,
 ):
     """Forward identical to _block_kernel, additionally materialising the GELU
-    values AND their derivatives (plus the mid-block residual r). Saving
-    gelu'(a) from the forward instead of recomputing it from a saved a was the
-    round-3 backward fix: the gelu' polynomial chain measured 0.47 ms/block of
-    the token backward alone (~80% of its runtime) while the extra residual
-    write+read is ~0.1 ms/block of HBM traffic at train batch."""
+    values AND their derivatives (plus the mid-block residual r, its
+    normalized form rhat and inverse stds). Saving gelu'(a) from the forward
+    instead of recomputing it from a saved a was the round-3 backward fix: the
+    gelu' polynomial chain measured 0.47 ms/block of the token backward alone
+    (~80% of its runtime) while the extra residual write+read is ~0.1 ms/block
+    of HBM traffic at train batch. Saving rhat/inv2 likewise spares the
+    channel backward its LN-stats recompute; the rounding order
+    (rf*inv - mean*inv) matches _kernel_layer_norm exactly so `rn` and the
+    block output are bit-identical to the pre-save kernel."""
     x = x_ref[0]
     xn = _kernel_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)
     h1 = jax.lax.dot_general(
@@ -326,8 +331,14 @@ def _block_res_kernel(
         t2_ref[:], g1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     r = x.astype(dtype) + (h2 + t2b_ref[:]).astype(dtype)
-    r_ref[0] = r
-    rn = _kernel_layer_norm(r, ln2s_ref[:], ln2b_ref[:], dtype)
+    rf = r.astype(jnp.float32)
+    mean = jnp.mean(rf, axis=-1, keepdims=True)
+    var = jnp.mean(rf * rf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    rhat = rf * inv - mean * inv
+    rhat_ref[0] = rhat.astype(dtype)
+    inv2_ref[0] = inv
+    rn = (rhat * ln2s_ref[:] + ln2b_ref[:]).astype(dtype)
     h3 = jax.lax.dot_general(
         rn, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -368,14 +379,17 @@ def _accum(ref, val):
 
 
 def _channel_bwd_kernel(
-    dout_ref, r_ref, g3_ref, dgelu3_ref, ln2s_ref, ln2b_ref, w1_ref, w2_ref,
+    dout_ref, rhat_ref, inv2_ref, g3_ref, dgelu3_ref, ln2s_ref, ln2b_ref,
+    w1_ref, w2_ref,
     dr_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dls2_ref, dlb2_ref,
     *, dtype,
 ):
     dout = dout_ref[0].astype(jnp.float32)  # (T, D)
     doutd = dout.astype(dtype)
-    rf = r_ref[0].astype(jnp.float32)
-    rhat, inv2 = _ln_stats(rf)
+    # rhat/inv2 saved by the forward: no LN-stats recompute (two (T, D) f32
+    # reduction passes + rsqrt saved per block)
+    rhat = rhat_ref[0].astype(jnp.float32)
+    inv2 = inv2_ref[0]  # (T, 1) f32
     s2 = ln2s_ref[:]
     rn = (rhat * s2 + ln2b_ref[:]).astype(dtype)
     g3 = g3_ref[0]  # saved by the forward (value + derivative)
@@ -495,7 +509,7 @@ def _block_args(x, p, dtype):
 def _fwd_res(x, p, dtype, interpret):
     args, in_specs, (b, t, d, et, ec) = _block_args(x, p, dtype)
     elem = lambda i: (i, 0, 0)
-    out, g1, dg1, r, g3, dg3 = pl.pallas_call(
+    out, g1, dg1, rhat, inv2, g3, dg3 = pl.pallas_call(
         functools.partial(_block_res_kernel, dtype=dtype),
         grid=(b,),
         in_specs=in_specs,
@@ -504,6 +518,7 @@ def _fwd_res(x, p, dtype, interpret):
             pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, et, d), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
         ],
@@ -512,24 +527,26 @@ def _fwd_res(x, p, dtype, interpret):
             jax.ShapeDtypeStruct((b, et, d), dtype),
             jax.ShapeDtypeStruct((b, et, d), dtype),
             jax.ShapeDtypeStruct((b, t, d), dtype),
+            jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, t, ec), dtype),
             jax.ShapeDtypeStruct((b, t, ec), dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return out, g1, dg1, r, g3, dg3
+    return out, g1, dg1, rhat, inv2, g3, dg3
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
-def _channel_bwd(dout, r, g3, dgelu3, p, dtype, interpret):
+def _channel_bwd(dout, rhat, inv2, g3, dgelu3, p, dtype, interpret):
     b, t, d = dout.shape
     ec = g3.shape[-1]
     const = lambda i: (0, 0)
     elem = lambda i: (i, 0, 0)
     args = (
         dout,
-        r,
+        rhat,
+        inv2,
         g3,
         dgelu3,
         p["channel_norm"]["scale"].reshape(1, d).astype(jnp.float32),
@@ -540,6 +557,7 @@ def _channel_bwd(dout, r, g3, dgelu3, p, dtype, interpret):
     in_specs = [
         pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, d), elem, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, 1), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, ec), elem, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
@@ -634,19 +652,21 @@ def fused_mixer_block_train(x, p, dtype=jnp.float32, interpret=False):
     adjoint of the kernel math — consistent with the fused forward and within
     f32-accumulation rounding of the XLA module path's autodiff (pinned by
     tests/test_fused_mixer.py::TestTrainGrads)."""
-    out, _, _, _, _, _ = _fwd_res(x, p, dtype, interpret)
+    out, _, _, _, _, _, _ = _fwd_res(x, p, dtype, interpret)
     return out
 
 
 def _fused_train_fwd(x, p, dtype, interpret):
-    out, g1, dg1, r, g3, dg3 = _fwd_res(x, p, dtype, interpret)
-    return out, (x, p, g1, dg1, r, g3, dg3)
+    out, g1, dg1, rhat, inv2, g3, dg3 = _fwd_res(x, p, dtype, interpret)
+    return out, (x, p, g1, dg1, rhat, inv2, g3, dg3)
 
 
 def _fused_train_bwd(dtype, interpret, res, dout):
-    x, p, g1, dg1, r, g3, dg3 = res
+    x, p, g1, dg1, rhat, inv2, g3, dg3 = res
     dout = dout.astype(jnp.float32)
-    dr, dw1, db1, dw2, db2, dls2, dlb2 = _channel_bwd(dout, r, g3, dg3, p, dtype, interpret)
+    dr, dw1, db1, dw2, db2, dls2, dlb2 = _channel_bwd(
+        dout, rhat, inv2, g3, dg3, p, dtype, interpret
+    )
     dx, dt1, dt1b, dt2, dt2b, dls1, dlb1 = _token_bwd(dr, x, g1, dg1, p, dtype, interpret)
     d = x.shape[-1]
     t = dt1.shape[0]

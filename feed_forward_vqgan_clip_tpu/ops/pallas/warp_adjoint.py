@@ -105,6 +105,14 @@ def _mxu_dot(a, b, dims):
     return _mxu_dot_split(_bf16_split(a), _bf16_split(b), dims)
 
 
+# bf16 image mode: when the aug stage runs in the pipeline's bf16 compute dtype
+# (train/loop aug_dtype), the pixels/cotangents carry only bf16 precision to
+# begin with, so the hat contraction drops the 3-pass split for ONE native
+# bf16 x bf16 MXU pass with f32 accumulation — 3x fewer MXU passes and half
+# the window DMA/VMEM. Hats are still built in f32 (exact piecewise-linear
+# weights from f32 coords) and rounded once to bf16 for the dot.
+
+
 def _proj(m, x, y):
     """Apply projective m (..., 3, 3) to coords -> (sx, sy, den)."""
     den = m[..., 2, 0] * x + m[..., 2, 1] * y + m[..., 2, 2]
@@ -114,12 +122,13 @@ def _proj(m, x, y):
     return sx, sy, den
 
 
-def adjoint_plan(m, in_hw, out_hw, tile, cand):
+def adjoint_plan(m, in_hw, out_hw, tile, cand, align=8):
     """Row-window origins + coverage verdict for `warp_adjoint`.
 
     m: (B, 3, 3) output->input. Returns (origins (B*NTY,) int32 row starts into
-    the output grad IN UNITS OF 8 ROWS (the kernel multiplies by 8 — Mosaic
-    must statically prove the DMA row offset divisible by the sublane tiling),
+    the output grad IN UNITS OF `align` ROWS (the kernel multiplies back —
+    Mosaic must statically prove the DMA row offset divisible by the sublane
+    tiling: 8 for f32 windows, 16 for bf16),
     uncovered_any: scalar bool — True when ANY band's preimage rows cannot fit
     a `cand`-row window, i.e. the caller must take the scatter fallback)."""
     h, w = in_hw
@@ -152,18 +161,20 @@ def adjoint_plan(m, in_hw, out_hw, tile, cand):
     mixed = (jnp.min(den, -1) < 0) & (jnp.max(den, -1) > 0)  # horizon in band
     qy_lo = jnp.clip(jnp.floor(jnp.min(qy, -1)) - 1, 0, ho)
     qy_hi = jnp.clip(jnp.ceil(jnp.max(qy, -1)) + 1, 0, ho)
-    oy8 = jnp.clip(qy_lo.astype(jnp.int32) // 8, 0, max(ho - cand, 0) // 8)
-    too_tall = (qy_hi.astype(jnp.int32) - oy8 * 8) > cand
+    oya = jnp.clip(
+        qy_lo.astype(jnp.int32) // align, 0, max(ho - cand, 0) // align
+    )
+    too_tall = (qy_hi.astype(jnp.int32) - oya * align) > cand
     uncovered_any = jnp.any(too_tall | mixed)
-    return oy8.reshape(-1), uncovered_any
+    return oya.reshape(-1), uncovered_any
 
 
 def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
-            c, h, w, ck, border):
+            c, h, w, ck, border, align, bf16):
     b = pl.program_id(0)
     ty = pl.program_id(1)
     nty = pl.num_programs(1)
-    oy = origins_ref[b * nty + ty] * 8  # provably 8-aligned row offset
+    oy = origins_ref[b * nty + ty] * align  # provably tiling-aligned row offset
 
     # one row-window DMA per band: channels-leading, full lanes, aligned rows
     dma = pltpu.make_async_copy(
@@ -212,10 +223,23 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - px))  # (CK, Wo, W)
 
         q = ck * wo
+        dims = (((0,), (0,)), ((), ()))
+        out = []
+        if bf16:
+            # native single-pass bf16 dot (f32 accumulation) — the window is
+            # already bf16-precise, so the split gains nothing
+            hxb = hx.reshape(q, w).astype(jnp.bfloat16)
+            for cc in range(c):
+                gc = win_ref[cc, pl.ds(k * ck, ck), :].astype(jnp.float32)
+                hyg = (hy * gc.reshape(ck, wo, 1)).reshape(q, t)
+                out.append(accs[cc] + jax.lax.dot_general(
+                    hyg.astype(jnp.bfloat16), hxb, dims,
+                    preferred_element_type=jnp.float32,
+                ))
+            return tuple(out)
         # the hx factor is channel-independent: bf16x3-split it ONCE per chunk
         # (the per-channel _mxu_dot used to re-split it 3x)
         hx3 = _bf16_split(hx.reshape(q, w))
-        out = []
         for cc in range(c):
             gc = win_ref[cc, pl.ds(k * ck, ck), :].astype(jnp.float32)
             hyg = hy * gc.reshape(ck, wo, 1)
@@ -230,7 +254,7 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
         0, cand // ck, body, tuple(jnp.zeros((t, w), jnp.float32) for _ in range(c))
     )
     for cc in range(c):
-        out_ref[0, cc] = accs[cc]
+        out_ref[0, cc] = accs[cc].astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -239,23 +263,30 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
 )
 def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, border=False,
                  ck=None, interpret=False):
-    """grad_img (B, H, W, C) f32 = adjoint of bilinear projective sampling
+    """grad_img (B, H, W, C) = adjoint of bilinear projective sampling
     (zeros mode, or border mode via in-kernel coordinate clamping), given
     output-grads g (B, Ho, Wo, C) and per-band row origins from
     `adjoint_plan`. Only exact when adjoint_plan said covered — callers cond
-    to the XLA transpose otherwise. border=True requires cand >= Ho."""
+    to the XLA transpose otherwise. border=True requires cand >= Ho.
+
+    Dtype follows g: bf16 cotangents run the single-pass bf16 mode (pass
+    `adjoint_plan(..., align=16)` origins — bf16 sublane tiling is (16, 128));
+    anything else is computed as f32 with the _DOT_MODE hat contractions."""
+    bf16 = g.dtype == jnp.bfloat16
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    align = 16 if bf16 else 8
     b, ho, wo, c = g.shape
     h, w = in_hw
     t = tile
     assert h % t == 0, (in_hw, t)
-    assert cand % 8 == 0 and cand <= ho and ho % 8 == 0, (cand, ho)
+    assert cand % align == 0 and cand <= ho and ho % 8 == 0, (cand, ho, align)
     assert not border or cand >= ho, (border, cand, ho)
     nty = h // t
     if ck is None:
         ck = 32 if cand % 32 == 0 else (16 if cand % 16 == 0 else 8)
     assert cand % ck == 0, (cand, ck)
     mats = m.astype(jnp.float32).reshape(b, 9)
-    gt = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, Ho, Wo)
+    gt = jnp.transpose(g.astype(dt), (0, 3, 1, 2))  # (B, C, Ho, Wo)
     # Mosaic DMA slices must be 128-aligned on the lane dim even when taking
     # the whole (padded) extent — zero-pad the grad width; zero cotangents
     # contribute exactly nothing, so the adjoint is unchanged.
@@ -272,15 +303,15 @@ def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, border=False,
             (1, c, t, w), lambda bb, ty, o_, m_: (bb, 0, ty, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, cand, wo_pad), jnp.float32),
+            pltpu.VMEM((c, cand, wo_pad), dt),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, tile=t, cand=cand, c=c, h=h, w=w, ck=ck,
-                          border=border),
+                          border=border, align=align, bf16=bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), dt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

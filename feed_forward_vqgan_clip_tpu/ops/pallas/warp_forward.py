@@ -50,11 +50,13 @@ from feed_forward_vqgan_clip_tpu.ops.pallas.warp_adjoint import (
 )
 
 
-def forward_plan(m, in_h, out_hw, tile, cand, border):
+def forward_plan(m, in_h, out_hw, tile, cand, border, align=8):
     """Input-row window origins + coverage verdict for `warp_forward`.
 
     m: (B, 3, 3) output->input. Returns (origins (B*NTY,) int32 input-row
-    starts IN UNITS OF 8 ROWS, uncovered_any: scalar bool)."""
+    starts IN UNITS OF `align` ROWS (8 for f32 windows, 16 for bf16 — the
+    DMA row offset must be divisible by the dtype's sublane tiling),
+    uncovered_any: scalar bool)."""
     ho, wo = out_hw
     t = tile
     nty = ho // t
@@ -82,18 +84,20 @@ def forward_plan(m, in_h, out_hw, tile, cand, border):
         sy = jnp.clip(sy, 0.0, in_h - 1.0)
     sy_lo = jnp.clip(jnp.floor(jnp.min(sy, -1)) - 1, 0, in_h)
     sy_hi = jnp.clip(jnp.ceil(jnp.max(sy, -1)) + 1, 0, in_h - 1)
-    oy8 = jnp.clip(sy_lo.astype(jnp.int32) // 8, 0, max(in_h - cand, 0) // 8)
-    too_tall = (sy_hi.astype(jnp.int32) - oy8 * 8) > (cand - 1)
+    oya = jnp.clip(
+        sy_lo.astype(jnp.int32) // align, 0, max(in_h - cand, 0) // align
+    )
+    too_tall = (sy_hi.astype(jnp.int32) - oya * align) > (cand - 1)
     uncovered_any = jnp.any(too_tall | mixed)
-    return oy8.reshape(-1), uncovered_any
+    return oya.reshape(-1), uncovered_any
 
 
 def _kernel(origins_ref, mats_ref, img_ref, out_ref, win_ref, sem, *,
-            tile, cand, c, h, w, wo, border):
+            tile, cand, c, h, w, wo, border, align, bf16):
     b = pl.program_id(0)
     ty = pl.program_id(1)
     nty = pl.num_programs(1)
-    oy = origins_ref[b * nty + ty] * 8  # provably 8-aligned input row offset
+    oy = origins_ref[b * nty + ty] * align  # provably tiling-aligned offset
 
     dma = pltpu.make_async_copy(img_ref.at[b, :, pl.ds(oy, cand), :], win_ref, sem)
     dma.start()
@@ -135,13 +139,26 @@ def _kernel(origins_ref, mats_ref, img_ref, out_ref, win_ref, sem, *,
     hxq = hx.reshape(q, w_pad)
 
     dma.wait()
+    dims = (((1,), (0,)), ((), ()))
+    if bf16:
+        # native single-pass bf16 dot (f32 accumulation) — the pixels are
+        # already bf16-precise, so the 3-pass split gains nothing
+        hyqb = hyq.astype(jnp.bfloat16)
+        for cc in range(c):
+            tmp = jax.lax.dot_general(
+                hyqb, win_ref[cc], dims, preferred_element_type=jnp.float32
+            )  # (Q, Wp)
+            out_ref[0, cc] = (
+                jnp.sum(hxq * tmp, axis=1).reshape(t, wo).astype(out_ref.dtype)
+            )
+        return
     # hyq is channel-independent: bf16x3-split once, reuse for all channels
     hyq3 = _bf16_split(hyq)
     for cc in range(c):
         tmp = _mxu_dot_split(
             hyq3,
             _bf16_split(win_ref[cc].astype(jnp.float32)),
-            (((1,), (0,)), ((), ())),
+            dims,
         )  # (Q, Wp)
         out_ref[0, cc] = jnp.sum(hxq * tmp, axis=1).reshape(t, wo)
 
@@ -151,17 +168,24 @@ def _kernel(origins_ref, mats_ref, img_ref, out_ref, win_ref, sem, *,
 )
 def warp_forward(img, m, origins, *, out_hw, tile=32, cand=224, border=False,
                  interpret=False):
-    """out (B, Ho, Wo, C) f32 = bilinear projective warp of img (B, H, W, C)
+    """out (B, Ho, Wo, C) = bilinear projective warp of img (B, H, W, C)
     with output->input map m, given per-band input-row origins from
-    `forward_plan`. Only exact when forward_plan said covered."""
+    `forward_plan`. Only exact when forward_plan said covered.
+
+    Dtype follows img: bf16 pixels run the single-pass bf16 mode (pass
+    `forward_plan(..., align=16)` origins); anything else is computed as f32
+    with the _DOT_MODE hat contractions."""
+    bf16 = img.dtype == jnp.bfloat16
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    align = 16 if bf16 else 8
     b, h, w, c = img.shape
     ho, wo = out_hw
     t = tile
     assert ho % t == 0, (out_hw, t)
-    assert cand % 8 == 0 and cand <= h, (cand, h)
+    assert cand % align == 0 and cand <= h, (cand, h, align)
     nty = ho // t
     mats = m.astype(jnp.float32).reshape(b, 9)
-    it = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, H, W)
+    it = jnp.transpose(img.astype(dt), (0, 3, 1, 2))  # (B, C, H, W)
     # Mosaic DMA lane alignment: zero-pad the image width to 128 multiples
     # (zero pixels contribute exactly nothing in either padding mode — border
     # clamps sx to w-1, whose upper tap weight at column w is exactly 0)
@@ -177,16 +201,17 @@ def warp_forward(img, m, origins, *, out_hw, tile=32, cand=224, border=False,
             (1, c, t, wo), lambda bb, ty, o_, m_: (bb, 0, ty, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, cand, w_pad), jnp.float32),
+            pltpu.VMEM((c, cand, w_pad), dt),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, tile=t, cand=cand, c=c, h=h, w=w, wo=wo, border=border
+            _kernel, tile=t, cand=cand, c=c, h=h, w=w, wo=wo, border=border,
+            align=align, bf16=bf16,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), dt),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(origins.astype(jnp.int32), mats, it)

@@ -57,11 +57,13 @@ def _max_select(in_size: int, out_size: int):
 
 
 def adaptive_avg_pool(x, out_h: int, out_w: int = None):
-    """x: (B, H, W, C) -> (B, out_h, out_w, C), torch AdaptiveAvgPool2d parity."""
+    """x: (B, H, W, C) -> (B, out_h, out_w, C), torch AdaptiveAvgPool2d parity.
+    Output dtype follows x (the pooling matrices are cast down so a bf16 aug
+    stage is not silently promoted back to f32)."""
     out_w = out_h if out_w is None else out_w
     _, h, w, _ = x.shape
-    wh = jnp.asarray(_avg_matrix(h, out_h))
-    ww = jnp.asarray(_avg_matrix(w, out_w))
+    wh = jnp.asarray(_avg_matrix(h, out_h)).astype(x.dtype)
+    ww = jnp.asarray(_avg_matrix(w, out_w)).astype(x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", wh, x)
     return jnp.einsum("ow,bhwc->bhoc", ww, x)
 

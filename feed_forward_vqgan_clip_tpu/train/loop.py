@@ -168,6 +168,12 @@ def make_train_step(
     mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 1, 3)
     std = jnp.asarray(CLIP_STD).reshape(1, 1, 1, 3)
     use_pallas = cfg.get("use_pallas")
+    # cutout/augment stage dtype: follows compute_dtype unless overridden —
+    # in bf16 the geometric warps run the single-pass Pallas kernel mode (3x
+    # fewer MXU passes, half the window DMA; BENCH_NOTES.md round 3). The
+    # images feed a bf16 CLIP tower either way, so stage precision matches
+    # what the consumer already sees. aug_dtype="float32" restores f32 math.
+    aug_dtype = jnp.dtype(cfg.get("aug_dtype") or _dtype_of(cfg))
     perceptor, vq = frozen.perceptor, frozen.vq_module
     # dropout==0 forwards route through the Pallas fused-block train path when
     # supported (custom_vjp backward kernels; FFVC_FUSED_TRAIN=0 reverts)
@@ -229,8 +235,8 @@ def make_train_step(
             div = jnp.float32(0.0)
 
         key, kc = jax.random.split(key)
-        x = make_cutouts(kc, xr)  # (cutn*repeat*bs, h, w, 3)
-        x = (x - mean) / std
+        x = make_cutouts(kc, xr.astype(aug_dtype))  # (cutn*repeat*bs, h, w, 3)
+        x = (x - mean.astype(aug_dtype)) / std.astype(aug_dtype)
         embed = perceptor.module.apply(fz["clip"], x, method=perceptor.module.encode_image)
         embed = normalize(embed.astype(jnp.float32))
 

@@ -169,3 +169,30 @@ def test_pick_tile_properties():
     # a tiny budget forces smaller bands but still returns a divisor
     t, ck = pick_tile(224, 224, 224, 3, 224, budget_bytes=6 * 1024 * 1024)
     assert t is not None and 224 % t == 0 and t < 224
+
+
+def test_bf16_adjoint_mode():
+    """bf16 cotangents run the single-pass adjoint mode; the image gradient
+    stays bf16 and matches the f32 adjoint to bf16 rounding."""
+    import math as _math
+
+    rng = np.random.default_rng(7)
+    img32 = jnp.asarray(rng.random(size=(2, 64, 64, 3)), jnp.float32)
+    img16 = img32.astype(jnp.bfloat16)
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    ang = jax.random.uniform(k1, (2,), minval=-15.0, maxval=15.0) * _math.pi / 180
+    tx = jax.random.uniform(k2, (2,), minval=-0.1, maxval=0.1) * 64
+    ty = jax.random.uniform(k3, (2,), minval=-0.1, maxval=0.1) * 64
+    inv = A._affine_inverse_about_center(ang, tx, ty, jnp.ones((2,)), 64, 64)
+    m = A._affine3(inv)
+
+    def loss(x):
+        return jnp.sum(A.warp_projective(x, m, "border", 0, "affine").astype(jnp.float32) ** 2)
+
+    g16 = jax.grad(loss)(img16)
+    assert g16.dtype == jnp.bfloat16
+    g32 = jax.grad(loss)(img32)
+    scale = float(jnp.max(jnp.abs(g32))) + 1e-8
+    err = float(jnp.max(jnp.abs(g16.astype(jnp.float32) - g32))) / scale
+    assert err < 5e-2, err

@@ -144,3 +144,25 @@ def test_grad_through_pallas_forward_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_ref), atol=2e-4, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("kind", ["affine", "projective"])
+def test_bf16_forward_mode(kind):
+    """bf16 pixels run the single-pass kernel mode (16-aligned origins) and
+    match the f32 path to bf16 rounding; output dtype is preserved."""
+    rng = np.random.default_rng(5)
+    img32 = jnp.asarray(rng.random(size=(2, 64, 64, 3)), jnp.float32)
+    img16 = img32.astype(jnp.bfloat16)
+    key = jax.random.PRNGKey(5)
+    m = (
+        _rot_trans_mats(key, 2, 64, 64)
+        if kind == "affine"
+        else _pe_mats(key, 2, 64, 64, distortion=0.3)
+    )
+    mode = "border" if kind == "affine" else "zeros"
+    got16 = A.warp_projective(img16, m, mode, 0, kind)
+    assert got16.dtype == jnp.bfloat16
+    want = A.warp_projective(img32, m, mode, 0, kind)
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(want), atol=2e-2
+    )

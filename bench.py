@@ -70,6 +70,11 @@ def main():
     enable_compilation_cache()
     if MODE == "train":
         return train_bench()
+    if MODE == "latency":
+        # batch-1 serving: the depth-streaming whole-stack mixer kernel beats
+        # the per-block weight-resident one (weight DMA hides under compute;
+        # 32 kernel launches collapse into one). FFVC_STREAM_MIXER=0 reverts.
+        os.environ.setdefault("FFVC_STREAM_MIXER", "1")
     from __graft_entry__ import entry
 
     fn, (tokens, mp, cp, vp) = entry()

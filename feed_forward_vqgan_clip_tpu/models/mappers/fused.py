@@ -21,6 +21,8 @@ from feed_forward_vqgan_clip_tpu.models.mappers.mixer import Mixer, lean_layer_n
 from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
     fused_block_vmem_bytes,
     fused_mixer_block,
+    fused_mixer_stream,
+    stack_mixer_params,
 )
 
 log = logging.getLogger(__name__)
@@ -121,6 +123,68 @@ def make_mapper_train_apply(mapper, *, fused=None, interpret=False):
 
         return apply_fn
     return lambda params, x: mapper.apply(params, x)
+
+
+def streamed_supported(mapper) -> bool:
+    """Gate for the whole-stack depth-streaming kernel: same Mosaic alignment
+    as the per-block path, plus VMEM headroom for the double-buffered weight
+    stream (two blocks' weights live while one computes)."""
+    if not fused_supported(mapper):
+        return False
+    t = mapper.image_size * mapper.image_size
+    d = mapper.dim
+    et = t * mapper.expansion
+    ec = d * mapper.expansion
+    w = jnp.dtype(mapper.dtype).itemsize
+    weights = (t * et + et * t + d * ec + ec * d) * w
+    return fused_block_vmem_bytes(t, d, et, ec, mapper.dtype) + weights <= _VMEM_BUDGET_BYTES
+
+
+def prepare_streamed_params(mapper: Mixer, variables):
+    """Fold+stack the mapper's params ONCE into the streamed layout:
+    {'head': proj/embed/final_*, 'stack': (L, ...) arrays}. Run eagerly per
+    loaded model; the result is a pytree meant to be PASSED through jit
+    boundaries (closing over it would embed ~600 MB of weights as HLO
+    constants — the axon remote-compile tunnel rejects such payloads)."""
+    p = variables.get("params", variables)
+    sp = stack_mixer_params(
+        [p[f"block_{i}"] for i in range(mapper.depth)], dtype=mapper.dtype
+    )
+    head = {k: p[k] for k in ("proj", "embed", "final_norm", "final_proj")}
+    return {"head": head, "stack": sp}
+
+
+def streamed_mixer_forward(mapper: Mixer, stream_params, x, *, interpret=False):
+    """Small-batch/serving forward: the ENTIRE block stack as one
+    depth-streaming pallas_call (ops/pallas/mixer_block.fused_mixer_stream).
+
+    stream_params: prepare_streamed_params output — the per-call graph
+    contains no per-block LN folds and no stack copies; at batch 1 those
+    would rival the compute itself. Weights re-stream from HBM for every
+    batch element (grid (B, L)), so this wins only where weight DMA hides
+    under per-block compute: batch ~1-8 (serving / FFVC_BENCH_MODE=latency).
+    Large batches keep the weight-resident per-block kernel."""
+    head, sp = stream_params["head"], stream_params["stack"]
+    dt = mapper.dtype
+    s, c = mapper.image_size, mapper.channels
+    b = x.shape[0]
+    h = _dense(x.astype(dt), head["proj"], dt)
+    h = h.reshape(b, c, s, s).transpose(0, 2, 3, 1).reshape(b, s * s, c)
+    h = _dense(h, head["embed"], dt)
+    h = fused_mixer_stream(h, sp, dtype=dt, interpret=interpret)
+    h = lean_layer_norm(
+        h, head["final_norm"]["scale"], head["final_norm"]["bias"], dt
+    )
+    h = _dense(h, head["final_proj"], dt)
+    return h.reshape(b, s, s, c)
+
+
+def make_streamed_mixer_apply(mapper: Mixer, variables, *, interpret=False):
+    """Closure convenience over prepare_streamed_params + streamed_mixer_forward
+    for un-jitted callers (tests, eager serving). Jitted callers must thread
+    the prepared params as an argument instead — see prepare_streamed_params."""
+    spp = prepare_streamed_params(mapper, variables)
+    return lambda x: streamed_mixer_forward(mapper, spp, x, interpret=interpret)
 
 
 def make_mapper_apply(mapper, *, fused=None, interpret=False):

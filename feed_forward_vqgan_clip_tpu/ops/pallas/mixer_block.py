@@ -114,6 +114,45 @@ def _gelu_exact(x, dtype):
     return jnp.float32(0.5) * (xf + ax * erf_abs)
 
 
+def _block_math(x, ln1s, ln1b, t1, t1b, t2, t2b, w1f, b1f, w2, b2, dtype):
+    """One inference mixer block on VMEM-resident values: LN -> token FF ->
+    residual -> LN-hat (channel affine pre-folded into w1f/b1f) -> channel FF
+    -> residual. Shared by the per-block and the depth-streaming kernels."""
+    # token mixing ---------------------------------------------------------
+    # LN params stay (1, D)-shaped: 1-D values force awkward relayouts in Mosaic,
+    # and (T,1)x(1,D) broadcasting is what the VPU wants anyway.
+    xn = _kernel_layer_norm(x, ln1s, ln1b, dtype)  # (T, D)
+    # h1[e, d] = sum_t t1[t, e] * xn[t, d]   (einsum 'btd,te->bed' per element)
+    # The f32 MXU accumulator stays alive through bias + GELU; one cast out.
+    h1 = jax.lax.dot_general(
+        t1, xn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Et, D) f32
+    g1 = _gelu_exact(h1 + t1b, dtype).astype(dtype)  # bias (Et,1) over D
+    # h2[t, d] = sum_e t2[e, t] * g1[e, d]   (einsum 'bed,et->btd')
+    h2 = jax.lax.dot_general(
+        t2, g1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (T, D) f32
+    r = x.astype(dtype) + (h2 + t2b).astype(dtype)  # bias (T,1) over D
+
+    # channel mixing -------------------------------------------------------
+    # (software-pipelining the FF over Ec chunks — FF1 of chunk k+1 issued
+    # before GELU of chunk k — measured perf-NEUTRAL at 0/2048/1024/512 chunk
+    # sizes: Mosaic already extracts the available MXU/VPU overlap, the stage
+    # is VPU-bound on LN+GELU. Experiment removed; see BENCH_NOTES.md.)
+    # channel LN's scale/bias are folded into w1f/b1f by the wrapper
+    rhat = _kernel_ln_hat(r, dtype)  # (T, D)
+    h3 = jax.lax.dot_general(
+        rhat, w1f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, Ec) f32
+    g3 = _gelu_exact(h3 + b1f, dtype).astype(dtype)  # bias (1, Ec)
+    h4 = jax.lax.dot_general(
+        g3, w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, D) f32
+    return r + (h4 + b2).astype(dtype)  # bias (1, D)
+
+
 def _block_kernel(
     x_ref,
     ln1s_ref,
@@ -130,41 +169,10 @@ def _block_kernel(
     *,
     dtype,
 ):
-    x = x_ref[0]  # (T, D) compute dtype
-
-    # token mixing ---------------------------------------------------------
-    # LN params stay (1, D)-shaped: 1-D values force awkward relayouts in Mosaic,
-    # and (T,1)x(1,D) broadcasting is what the VPU wants anyway.
-    xn = _kernel_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)  # (T, D)
-    # h1[e, d] = sum_t t1[t, e] * xn[t, d]   (einsum 'btd,te->bed' per element)
-    # The f32 MXU accumulator stays alive through bias + GELU; one cast out.
-    h1 = jax.lax.dot_general(
-        t1_ref[:], xn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Et, D) f32
-    g1 = _gelu_exact(h1 + t1b_ref[:], dtype).astype(dtype)  # bias (Et,1) over D
-    # h2[t, d] = sum_e t2[e, t] * g1[e, d]   (einsum 'bed,et->btd')
-    h2 = jax.lax.dot_general(
-        t2_ref[:], g1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, D) f32
-    r = x.astype(dtype) + (h2 + t2b_ref[:]).astype(dtype)  # bias (T,1) over D
-
-    # channel mixing -------------------------------------------------------
-    # (software-pipelining the FF over Ec chunks — FF1 of chunk k+1 issued
-    # before GELU of chunk k — measured perf-NEUTRAL at 0/2048/1024/512 chunk
-    # sizes: Mosaic already extracts the available MXU/VPU overlap, the stage
-    # is VPU-bound on LN+GELU. Experiment removed; see BENCH_NOTES.md.)
-    # channel LN's scale/bias are folded into w1f/b1f by the wrapper
-    rhat = _kernel_ln_hat(r, dtype)  # (T, D)
-    h3 = jax.lax.dot_general(
-        rhat, w1f_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, Ec) f32
-    g3 = _gelu_exact(h3 + b1f_ref[:], dtype).astype(dtype)  # bias (1, Ec)
-    h4 = jax.lax.dot_general(
-        g3, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, D) f32
-    out_ref[0] = r + (h4 + b2_ref[:]).astype(dtype)  # bias (1, D)
+    out_ref[0] = _block_math(
+        x_ref[0], ln1s_ref[:], ln1b_ref[:], t1_ref[:], t1b_ref[:], t2_ref[:],
+        t2b_ref[:], w1f_ref[:], b1f_ref[:], w2_ref[:], b2_ref[:], dtype,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
@@ -242,6 +250,179 @@ def fused_block_vmem_bytes(t, d, et, ec, dtype=jnp.bfloat16):
     weights = (t * et + et * t + d * ec + ec * d) * w
     acts = (3 * t * d + et * d + t * ec) * max(w, 2) + (t * d + et * d + t * ec) * 4
     return weights + 2 * t * d * w + acts
+
+
+# ---------------------------------------------------------------------------
+# Stacked-weights layout: all L blocks' (pre-folded) weights as (L, ...) arrays.
+# Prepared ONCE at model-load time (fused.stacked_mixer_params); serves two
+# kernels:
+#   * fused_mixer_stream — ONE pallas_call for the whole 32-block stack,
+#     grid (B, L) with depth innermost: the activation carry lives in the
+#     output's VMEM block across the L inner steps (its index map revisits the
+#     same block, so Mosaic never writes it back mid-depth) while each block's
+#     ~18 MB of weights stream HBM->VMEM double-buffered one grid step ahead.
+#     At batch 1 (serving) this removes 32 kernel launches, 31 x-roundtrips
+#     and serial weight fetches: weight DMA (~22 us/block at v5e HBM) overlaps
+#     block compute (~27 us FLOP-ideal) instead of preceding it.
+#   * fused_mixer_block_stacked — the per-block kernel fed by index maps into
+#     the same stacked arrays (large batches keep the weights-resident grid;
+#     no per-call fold and no second copy of the weights in HBM).
+# ---------------------------------------------------------------------------
+
+
+def stack_mixer_params(blocks, dtype=jnp.float32):
+    """Fold + stack per-block Mixer params for the stacked-layout kernels.
+
+    blocks: list of L MixerBlock param dicts (mixer.MixerBlock.init layout).
+    Returns a dict of (L, ...) arrays with the channel-LN affine folded into
+    the first channel matmul exactly as fused_mixer_block does per call:
+    rn @ W1 + b1 = rhat @ (s2[:,None]*W1) + (b2ln @ W1 + b1). Meant to run
+    eagerly once per loaded model (serving/latency paths)."""
+    ln1s, ln1b, t1, t1b, t2, t2b, w1f, b1f, w2, b2 = ([] for _ in range(10))
+    for p in blocks:
+        d = p["token_norm"]["scale"].shape[-1]
+        et = p["token_fc1"].shape[1]
+        t = p["token_fc2"].shape[1]
+        ec = p["channel_fc1"]["kernel"].shape[1]
+        w1_f32 = p["channel_fc1"]["kernel"].astype(jnp.float32)
+        s2 = p["channel_norm"]["scale"].astype(jnp.float32)
+        b2ln = p["channel_norm"]["bias"].astype(jnp.float32)
+        ln1s.append(p["token_norm"]["scale"].reshape(1, d).astype(jnp.float32))
+        ln1b.append(p["token_norm"]["bias"].reshape(1, d).astype(jnp.float32))
+        t1.append(p["token_fc1"].astype(dtype))
+        t1b.append(p["token_fc1_bias"].reshape(et, 1).astype(jnp.float32))
+        t2.append(p["token_fc2"].astype(dtype))
+        t2b.append(p["token_fc2_bias"].reshape(t, 1).astype(jnp.float32))
+        w1f.append((w1_f32 * s2[:, None]).astype(dtype))
+        b1f.append(
+            (p["channel_fc1"]["bias"].astype(jnp.float32) + b2ln @ w1_f32)
+            .reshape(1, ec)
+        )
+        w2.append(p["channel_fc2"]["kernel"].astype(dtype))
+        b2.append(p["channel_fc2"]["bias"].reshape(1, d).astype(jnp.float32))
+    names = ("ln1s", "ln1b", "t1", "t1b", "t2", "t2b", "w1f", "b1f", "w2", "b2")
+    vals = (ln1s, ln1b, t1, t1b, t2, t2b, w1f, b1f, w2, b2)
+    return {k: jnp.stack(v) for k, v in zip(names, vals)}
+
+
+def _stream_kernel(
+    x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
+    w1f_ref, b1f_ref, w2_ref, b2_ref, out_ref, *, dtype,
+):
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        out_ref[0] = x_ref[0]
+
+    # out_ref IS the depth carry: its block index only depends on the batch
+    # grid axis, so across the L inner steps Mosaic keeps it in VMEM (the
+    # sequential TPU grid makes the read-modify-write sound, same argument as
+    # the param-grad accumulators below).
+    out_ref[0] = _block_math(
+        out_ref[0], ln1s_ref[0], ln1b_ref[0], t1_ref[0], t1b_ref[0],
+        t2_ref[0], t2b_ref[0], w1f_ref[0], b1f_ref[0], w2_ref[0], b2_ref[0],
+        dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def fused_mixer_stream(x, sp, *, dtype=jnp.float32, interpret=False):
+    """The whole mixer-block stack in one pallas_call (weights streamed by
+    depth, activation carried in VMEM). x: (B, T, D); sp: stack_mixer_params
+    output. Numerics identical to looping fused_mixer_block."""
+    b, t, d = x.shape
+    L, _, et = sp["t1"].shape
+    ec = sp["w2"].shape[1]
+
+    def wspec(*shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, l: (l,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    args = (
+        x.astype(dtype), sp["ln1s"], sp["ln1b"], sp["t1"], sp["t1b"],
+        sp["t2"], sp["t2b"], sp["w1f"], sp["b1f"], sp["w2"], sp["b2"],
+    )
+    in_specs = [
+        pl.BlockSpec((1, t, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
+        wspec(1, d), wspec(1, d), wspec(t, et), wspec(et, 1), wspec(et, t),
+        wspec(t, 1), wspec(d, ec), wspec(1, ec), wspec(ec, d), wspec(1, d),
+    ]
+    flops = 2 * t * d * (2 * et + 2 * ec)  # per batch element per block
+    itemsize = jnp.dtype(dtype).itemsize
+    wbytes = (t * et + et * t + d * ec + ec * d) * itemsize
+    return pl.pallas_call(
+        functools.partial(_stream_kernel, dtype=dtype),
+        grid=(b, L),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, t, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * L * flops,
+            bytes_accessed=2 * b * t * d * itemsize + b * L * wbytes,
+            transcendentals=b * L * (t * ec + et * d),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _block_kernel_stacked(
+    x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
+    w1f_ref, b1f_ref, w2_ref, b2_ref, out_ref, *, dtype,
+):
+    out_ref[0] = _block_math(
+        x_ref[0], ln1s_ref[0], ln1b_ref[0], t1_ref[0], t1b_ref[0], t2_ref[0],
+        t2b_ref[0], w1f_ref[0], b1f_ref[0], w2_ref[0], b2_ref[0], dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_idx", "dtype", "interpret"))
+def fused_mixer_block_stacked(x, sp, *, block_idx, dtype=jnp.float32,
+                              interpret=False):
+    """One block of the stacked layout with the batch-walking grid of
+    fused_mixer_block (weights resident across the batch via constant index
+    maps into the (L, ...) arrays — no slicing copy, no per-call LN fold)."""
+    b, t, d = x.shape
+    _, _, et = sp["t1"].shape
+    ec = sp["w2"].shape[1]
+
+    def wspec(*shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (block_idx,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    args = (
+        x.astype(dtype), sp["ln1s"], sp["ln1b"], sp["t1"], sp["t1b"],
+        sp["t2"], sp["t2b"], sp["w1f"], sp["b1f"], sp["w2"], sp["b2"],
+    )
+    in_specs = [
+        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        wspec(1, d), wspec(1, d), wspec(t, et), wspec(et, 1), wspec(et, t),
+        wspec(t, 1), wspec(d, ec), wspec(1, ec), wspec(ec, d), wspec(1, d),
+    ]
+    flops = 2 * t * d * (2 * et + 2 * ec)
+    itemsize = jnp.dtype(dtype).itemsize
+    return pl.pallas_call(
+        functools.partial(_block_kernel_stacked, dtype=dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops,
+            bytes_accessed=(2 * b * t * d + t * et + et * t + d * ec + ec * d)
+            * itemsize,
+            transcendentals=b * (t * ec + et * d),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
 
 
 # ---------------------------------------------------------------------------

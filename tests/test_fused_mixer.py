@@ -204,3 +204,71 @@ class TestTrainGrads:
         np.testing.assert_allclose(
             np.asarray(auto(params, x)), np.asarray(mapper.apply(params, x)), atol=0
         )
+
+
+class TestStackedLayout:
+    """Stacked-weights layout: the depth-streaming whole-stack kernel and the
+    stacked per-block kernel must match the reference per-block kernel / the
+    module path (ops/pallas/mixer_block.py stacked-layout section)."""
+
+    def test_stream_matches_block_loop_f32(self):
+        from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+            fused_mixer_block,
+            fused_mixer_stream,
+            stack_mixer_params,
+        )
+
+        mapper, params, _ = _mk(jnp.float32, dim=128, depth=3)
+        p = params["params"]
+        blocks = [p[f"block_{i}"] for i in range(3)]
+        sp = stack_mixer_params(blocks, dtype=jnp.float32)
+        h = jax.random.normal(jax.random.PRNGKey(7), (2, 256, 128))
+        ref = h
+        for bp in blocks:
+            ref = fused_mixer_block(ref, bp, dtype=jnp.float32, interpret=True)
+        out = fused_mixer_stream(h, sp, dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+    def test_stacked_block_matches_per_block(self):
+        from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+            fused_mixer_block,
+            fused_mixer_block_stacked,
+            stack_mixer_params,
+        )
+
+        mapper, params, _ = _mk(jnp.float32, dim=128, depth=2)
+        p = params["params"]
+        blocks = [p[f"block_{i}"] for i in range(2)]
+        sp = stack_mixer_params(blocks, dtype=jnp.float32)
+        h = jax.random.normal(jax.random.PRNGKey(8), (2, 256, 128))
+        for i, bp in enumerate(blocks):
+            a = fused_mixer_block(h, bp, dtype=jnp.float32, interpret=True)
+            b = fused_mixer_block_stacked(
+                h, sp, block_idx=i, dtype=jnp.float32, interpret=True
+            )
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0, rtol=0)
+
+    def test_streamed_apply_matches_module(self):
+        from feed_forward_vqgan_clip_tpu.models.mappers.fused import (
+            make_streamed_mixer_apply,
+            streamed_supported,
+        )
+
+        mapper, params, x = _mk(jnp.float32, dim=128, depth=2)
+        assert streamed_supported(mapper)
+        apply_fn = make_streamed_mixer_apply(mapper, params, interpret=True)
+        ref = mapper.apply(params, x)
+        out = apply_fn(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_streamed_apply_bf16(self):
+        from feed_forward_vqgan_clip_tpu.models.mappers.fused import (
+            make_streamed_mixer_apply,
+        )
+
+        mapper, params, x = _mk(jnp.bfloat16, dim=128, depth=2)
+        apply_fn = make_streamed_mixer_apply(mapper, params, interpret=True)
+        ref = np.asarray(mapper.apply(params, x), np.float32)
+        out = np.asarray(apply_fn(x), np.float32)
+        scale = max(1e-3, float(np.abs(ref).max()))
+        assert np.max(np.abs(out - ref)) / scale < 0.03

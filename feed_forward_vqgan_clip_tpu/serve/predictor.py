@@ -59,6 +59,8 @@ class Predictor:
         self.vqgans: Dict[str, tuple] = {}
         self.priors: Dict[str, object] = {}
         self._render_fns: Dict[str, object] = {}
+        self._stream_render_fns: Dict[str, object] = {}
+        self._stream_params: Dict[str, object] = {}
 
     def setup(self):
         for path in self.model_paths:
@@ -96,7 +98,12 @@ class Predictor:
 
             use_pallas = cfg.get("use_pallas")
             vq, vq_params, (z_lo, z_hi) = self.vqgans[vkey]
-            from feed_forward_vqgan_clip_tpu.models.mappers.fused import make_mapper_apply
+            from feed_forward_vqgan_clip_tpu.models.mappers.fused import (
+                make_mapper_apply,
+                prepare_streamed_params,
+                streamed_mixer_forward,
+                streamed_supported,
+            )
 
             mapper_apply = make_mapper_apply(mapper, fused=cfg.get("fused_mixer"))
 
@@ -106,6 +113,25 @@ class Predictor:
                 return synth(_vq, vp, z, use_pallas=_up).astype(jnp.float32)
 
             self._render_fns[name] = jax.jit(render)
+
+            # Small-request latency path: the depth-streaming whole-stack mixer
+            # kernel (weights DMA'd under compute, one launch for the stack)
+            # beats the weight-resident per-block grid at batch <= ~8. Stacked
+            # params are prepared once here and threaded through jit as the mp
+            # argument (closure constants overflow the remote-compile payload).
+            try:
+                streamable = streamed_supported(mapper) and jax.default_backend() not in ("cpu",)
+            except Exception:
+                streamable = False
+            if streamable:
+                self._stream_params[name] = prepare_streamed_params(mapper, params)
+
+                def srender(mp, vp, net_in, _m=mapper, _vq=vq, _lo=z_lo, _hi=z_hi, _up=use_pallas):
+                    z = streamed_mixer_forward(_m, mp, net_in)
+                    z = clamp_with_grad(z, _lo, _hi)
+                    return synth(_vq, vp, z, use_pallas=_up).astype(jnp.float32)
+
+                self._stream_render_fns[name] = jax.jit(srender)
         log.info("Predictor ready: %d models, %d perceptors, %d vqgans, %d priors",
                  len(self.models), len(self.perceptors), len(self.vqgans), len(self.priors))
 
@@ -151,6 +177,11 @@ class Predictor:
                 key, kn = jax.random.split(key)
                 nz = jax.random.normal(kn, (n, noise_dim))
             H = jnp.concatenate([H, nz.astype(H.dtype)], axis=1)
-        imgs = np.asarray(self._render_fns[model](params, vq_params, H))
+        if n <= 8 and model in self._stream_render_fns:
+            imgs = np.asarray(
+                self._stream_render_fns[model](self._stream_params[model], vq_params, H)
+            )
+        else:
+            imgs = np.asarray(self._render_fns[model](params, vq_params, H))
         save_image(make_grid(imgs, nrow=gw), out_path)
         return out_path

@@ -27,11 +27,20 @@ grid-accumulated param grads). models/mappers/fused.py gates dispatch.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# FFVC_MIXER_PAIR=1: inference kernel processes TWO batch elements per grid
+# step. Each element's op chain (LN -> mm -> GELU -> mm -> LN -> mm -> GELU ->
+# mm) is strictly serial, so the MXU idles through every VPU phase; two
+# independent chains in one kernel body give Mosaic's scheduler co-issuable
+# MXU/VPU work. Perf experiment — numerics identical (per-element math).
+_PAIR = os.environ.get("FFVC_MIXER_PAIR", "0") not in ("", "0", "false")
+
 
 def _kernel_ln_hat(x, dtype):
     """LayerNorm(eps=1e-5) WITHOUT the affine: (x - mean) * inv_std in f32
@@ -153,6 +162,41 @@ def _block_math(x, ln1s, ln1b, t1, t1b, t2, t2b, w1f, b1f, w2, b2, dtype):
     return r + (h4 + b2).astype(dtype)  # bias (1, D)
 
 
+def _block_math_pair(x0, x1, ln1s, ln1b, t1, t1b, t2, t2b, w1f, b1f, w2, b2,
+                     dtype):
+    """_block_math on two independent batch elements with their phases
+    MANUALLY INTERLEAVED in program order (element 1 lags one phase behind
+    element 0), so each MXU matmul has a co-issuable VPU phase (LN/GELU/
+    residual) from the other element next to it in the instruction stream.
+    Numerics per element are identical to _block_math."""
+    dg = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32
+    )
+    tok = (((0,), (0,)), ((), ()))  # t1/t2 contractions
+    ch1 = (((1,), (0,)), ((), ()))  # rhat @ w1f / g3 @ w2
+    xn0 = _kernel_layer_norm(x0, ln1s, ln1b, dtype)            # VPU
+    h1_0 = dg(t1, xn0, tok)                                    # MXU
+    xn1 = _kernel_layer_norm(x1, ln1s, ln1b, dtype)            # VPU
+    g1_0 = _gelu_exact(h1_0 + t1b, dtype).astype(dtype)        # VPU
+    h1_1 = dg(t1, xn1, tok)                                    # MXU
+    h2_0 = dg(t2, g1_0, tok)                                   # MXU
+    g1_1 = _gelu_exact(h1_1 + t1b, dtype).astype(dtype)        # VPU
+    r0 = x0.astype(dtype) + (h2_0 + t2b).astype(dtype)         # VPU
+    rhat0 = _kernel_ln_hat(r0, dtype)                          # VPU
+    h2_1 = dg(t2, g1_1, tok)                                   # MXU
+    h3_0 = dg(rhat0, w1f, ch1)                                 # MXU
+    r1 = x1.astype(dtype) + (h2_1 + t2b).astype(dtype)         # VPU
+    rhat1 = _kernel_ln_hat(r1, dtype)                          # VPU
+    g3_0 = _gelu_exact(h3_0 + b1f, dtype).astype(dtype)        # VPU
+    h3_1 = dg(rhat1, w1f, ch1)                                 # MXU
+    h4_0 = dg(g3_0, w2, ch1)                                   # MXU
+    g3_1 = _gelu_exact(h3_1 + b1f, dtype).astype(dtype)        # VPU
+    out0 = r0 + (h4_0 + b2).astype(dtype)                      # VPU
+    h4_1 = dg(g3_1, w2, ch1)                                   # MXU
+    out1 = r1 + (h4_1 + b2).astype(dtype)                      # VPU
+    return out0, out1
+
+
 def _block_kernel(
     x_ref,
     ln1s_ref,
@@ -169,17 +213,31 @@ def _block_kernel(
     *,
     dtype,
 ):
-    out_ref[0] = _block_math(
-        x_ref[0], ln1s_ref[:], ln1b_ref[:], t1_ref[:], t1b_ref[:], t2_ref[:],
-        t2b_ref[:], w1f_ref[:], b1f_ref[:], w2_ref[:], b2_ref[:], dtype,
+    consts = (
+        ln1s_ref[:], ln1b_ref[:], t1_ref[:], t1b_ref[:], t2_ref[:],
+        t2b_ref[:], w1f_ref[:], b1f_ref[:], w2_ref[:], b2_ref[:],
     )
+    if x_ref.shape[0] == 2:  # pair mode (see _PAIR)
+        out_ref[0], out_ref[1] = _block_math_pair(
+            x_ref[0], x_ref[1], *consts, dtype
+        )
+    else:
+        out_ref[0] = _block_math(x_ref[0], *consts, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
 def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
     """One full mixer block, fused. x: (B, T, D); p: the MixerBlock param dict
     ({token_norm, token_fc1[_bias], token_fc2[_bias], channel_norm,
-    channel_fc1, channel_fc2}) exactly as produced by mixer.MixerBlock.init."""
+    channel_fc1, channel_fc2}) exactly as produced by mixer.MixerBlock.init.
+
+    FFVC_MIXER_PAIR resolves here (outside jit) so toggling it is never masked
+    by a stale jit cache entry."""
+    pe = 2 if (_PAIR and x.shape[0] % 2 == 0) else 1
+    return _fused_mixer_block_impl(x, p, pe=pe, dtype=dtype, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("pe", "dtype", "interpret"))
+def _fused_mixer_block_impl(x, p, *, pe, dtype, interpret):
     b, t, d = x.shape
     t1 = p["token_fc1"].astype(dtype)  # (T, Et)
     t2 = p["token_fc2"].astype(dtype)  # (Et, T)
@@ -209,7 +267,7 @@ def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
         p["channel_fc2"]["bias"].reshape(1, d).astype(jnp.float32),
     )
     in_specs = [
-        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((pe, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((t, et), const, memory_space=pltpu.VMEM),
@@ -225,9 +283,9 @@ def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
     itemsize = jnp.dtype(dtype).itemsize
     return pl.pallas_call(
         functools.partial(_block_kernel, dtype=dtype),
-        grid=(b,),
+        grid=(b // pe,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((pe, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
         cost_estimate=pl.CostEstimate(
             flops=b * flops,

@@ -102,6 +102,25 @@ def test_fused_ignores_dropout_like_deterministic(dropout):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_pair_mode_bit_exact(monkeypatch):
+    """FFVC_MIXER_PAIR=1 (two batch elements per grid step with manually
+    interleaved MXU/VPU phases — ops/pallas/mixer_block._block_math_pair) is a
+    pure scheduling change: per-element math is identical, so outputs must be
+    BIT-exact vs the single-element kernel, and odd batches must fall back."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas import mixer_block as mb
+    from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import fused_mixer_block
+
+    mapper, params, _ = _mk(jnp.float32)
+    p = params["params"]["block_0"]
+    h = jax.random.normal(jax.random.PRNGKey(2), (4, 256, 128), jnp.float32)
+    single = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
+    monkeypatch.setattr(mb, "_PAIR", True)
+    paired = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
+    assert np.array_equal(np.asarray(paired), np.asarray(single))
+    odd = fused_mixer_block(h[:3], p, dtype=jnp.float32, interpret=True)
+    assert np.array_equal(np.asarray(odd), np.asarray(single[:3]))
+
+
 
 
 def _assert_grads_close(gp_got, gx_got, gp_ref, gx_ref, rel=1e-2):

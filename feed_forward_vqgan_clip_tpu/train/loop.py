@@ -364,6 +364,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         scheduler=cfg.get("scheduler"),
         max_steps=cfg.get("max_steps"),
         clip_grad_norm=cfg.get("clip_grad_norm"),
+        opt_dtype=cfg.get("opt_dtype"),
     )
 
     # ---- placement: params FIRST (TP rule over 'model' for mixer FFNs, else

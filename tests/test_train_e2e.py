@@ -7,6 +7,7 @@ full training run, so configs are consolidated to keep compile count low.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -85,16 +86,25 @@ class TestTrainE2E:
 
     def test_feature_pairs_all_knobs(self, tmp_path, feature_data):
         """One run exercising: input_loss, l2, tv, diversity, normalize_input,
-        repeat>1, noise bank, EMA, cosine schedule, grad clipping; then inference
-        with the restored noise bank."""
+        repeat>1, noise bank, EMA, cosine schedule, grad clipping, bf16 Adam
+        moments; then inference with the restored noise bank."""
         cfg = _base_cfg(
             tmp_path, path=feature_data, input_loss=True, l2_coef=0.1,
             tv_coef=0.1, normalize_input=True, repeat=2, diversity_coef=0.05,
             noise_dim=8, nb_noise=4, use_ema=True, ema_decay=0.9,
             scheduler="cosine", clip_grad_norm=1.0, max_steps=3, dropout=0.1,
+            opt_dtype="bfloat16",
         )
         state = train(cfg)
         assert int(state.step) == 3
+        moments = [
+            s for s in jax.tree.leaves(
+                state.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+            if hasattr(s, "mu")
+        ]
+        assert moments and all(
+            l.dtype == jnp.bfloat16 for l in jax.tree.leaves(moments[0].mu)
+        )
         noise_path = tmp_path / "checkpoint" / "noise.npy"
         assert noise_path.exists() and np.load(noise_path).shape == (4, 8)
         assert os.path.exists(tmp_path / "checkpoint_ema" / "params.msgpack")

@@ -1,0 +1,109 @@
+"""Optimizer/TrainState unit tests.
+
+Covers the `opt_dtype` framework extension (train/state.py:
+_scale_by_adam_cast_state — Adam with BOTH moments stored in bf16, f32 math;
+the reference trains f32 torch.Adam, main.py:591, so bf16 state is an opt-in
+deviation) plus the msgpack roundtrip of low-precision optimizer state.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from feed_forward_vqgan_clip_tpu.train.state import (
+    _scale_by_adam_cast_state,
+    make_optimizer,
+)
+
+
+def _params():
+    k = jax.random.PRNGKey(0)
+    return {
+        "w": jax.random.normal(k, (8, 16), jnp.float32),
+        "b": jnp.zeros((16,), jnp.float32),
+    }
+
+
+def _grads(i):
+    k = jax.random.PRNGKey(100 + i)
+    return {
+        "w": jax.random.normal(k, (8, 16), jnp.float32) * 0.1,
+        "b": jax.random.normal(jax.random.fold_in(k, 1), (16,), jnp.float32),
+    }
+
+
+def test_cast_state_f32_matches_optax_scale_by_adam():
+    """With state_dtype=float32 the custom transform's rule must reproduce
+    optax.scale_by_adam (eps_root=0) — pins the bias-correction and count
+    wiring independent of any bf16 rounding."""
+    p = _params()
+    ours = _scale_by_adam_cast_state(0.9, 0.999, 1e-8, jnp.float32)
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    s_o, s_r = ours.init(p), ref.init(p)
+    for i in range(5):
+        g = _grads(i)
+        u_o, s_o = ours.update(g, s_o)
+        u_r, s_r = ref.update(g, s_r)
+        for k in p:
+            np.testing.assert_allclose(
+                np.asarray(u_o[k]), np.asarray(u_r[k]), rtol=1e-6, atol=1e-7
+            )
+    assert int(s_o.count) == int(s_r.count) == 5
+
+
+def test_make_optimizer_bf16_state_dtype_and_update_close():
+    """opt_dtype='bfloat16' stores mu AND nu in bf16; updates stay within
+    bf16-accumulation rounding (~1%) of the stock f32 adam."""
+    p = _params()
+    tx16 = make_optimizer(1e-3, opt_dtype="bfloat16")
+    tx32 = make_optimizer(1e-3)
+    s16, s32 = tx16.init(p), tx32.init(p)
+    # find the ScaleByAdamState inside the chain state
+    flat = [
+        s
+        for s in jax.tree.leaves(s16, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(s, "mu")
+    ]
+    assert flat, "no ScaleByAdamState found in chain state"
+    adam16 = flat[0]
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(adam16.mu))
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(adam16.nu))
+
+    p16, p32 = dict(p), dict(p)
+    for i in range(10):
+        g = _grads(i)
+        u16, s16 = tx16.update(g, s16, p16)
+        u32, s32 = tx32.update(g, s32, p32)
+        p16 = optax.apply_updates(p16, u16)
+        p32 = optax.apply_updates(p32, u32)
+    for k in p:
+        a, b = np.asarray(p16[k]), np.asarray(p32[k])
+        # per-step updates are ~lr-sized; bf16 moment rounding perturbs each by
+        # <~1% relative, so after 10 steps the params differ by <<1 lr unit
+        np.testing.assert_allclose(a, b, atol=2e-4)
+        assert np.all(np.isfinite(a))
+
+
+def test_bf16_opt_state_msgpack_roundtrip(tmp_path):
+    """The train loop persists opt_state via save_pytree/load_pytree
+    (train/loop.py); bf16 moment leaves must survive byte-exactly."""
+    from feed_forward_vqgan_clip_tpu.io import checkpoint as ckpt_io
+
+    p = _params()
+    tx = make_optimizer(1e-3, opt_dtype="bfloat16")
+    s = tx.init(p)
+    _, s = tx.update(_grads(0), s, p)
+    path = str(tmp_path / "opt.msgpack")
+    ckpt_io.save_pytree(path, s)
+    loaded = ckpt_io.load_pytree(path, like=s)
+    for got, want in zip(jax.tree.leaves(loaded), jax.tree.leaves(s)):
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("bad", ["float16x", "notadtype"])
+def test_bad_opt_dtype_raises(bad):
+    with pytest.raises(TypeError):
+        make_optimizer(1e-3, opt_dtype=bad)

@@ -371,24 +371,42 @@ def _stream_kernel(
 
     @pl.when(l == 0)
     def _():
-        out_ref[0] = x_ref[0]
+        out_ref[...] = x_ref[...]
 
     # out_ref IS the depth carry: its block index only depends on the batch
     # grid axis, so across the L inner steps Mosaic keeps it in VMEM (the
     # sequential TPU grid makes the read-modify-write sound, same argument as
     # the param-grad accumulators below).
-    out_ref[0] = _block_math(
-        out_ref[0], ln1s_ref[0], ln1b_ref[0], t1_ref[0], t1b_ref[0],
-        t2_ref[0], t2b_ref[0], w1f_ref[0], b1f_ref[0], w2_ref[0], b2_ref[0],
-        dtype,
+    consts = (
+        ln1s_ref[0], ln1b_ref[0], t1_ref[0], t1b_ref[0], t2_ref[0],
+        t2b_ref[0], w1f_ref[0], b1f_ref[0], w2_ref[0], b2_ref[0],
     )
+    if out_ref.shape[0] == 2:
+        # pair mode (_PAIR): besides the MXU/VPU co-issue, pairing HALVES the
+        # stream's dominant HBM cost — each depth step's weights serve TWO
+        # batch elements instead of one (weights re-stream per grid step here,
+        # unlike the weight-resident per-block kernel).
+        out_ref[0], out_ref[1] = _block_math_pair(
+            out_ref[0], out_ref[1], *consts, dtype
+        )
+    else:
+        out_ref[0] = _block_math(out_ref[0], *consts, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
 def fused_mixer_stream(x, sp, *, dtype=jnp.float32, interpret=False):
     """The whole mixer-block stack in one pallas_call (weights streamed by
     depth, activation carried in VMEM). x: (B, T, D); sp: stack_mixer_params
-    output. Numerics identical to looping fused_mixer_block."""
+    output. Numerics identical to looping fused_mixer_block.
+
+    FFVC_MIXER_PAIR resolves here (outside jit) so toggling it is never masked
+    by a stale jit cache entry. Pairing halves the stream's per-element weight
+    traffic (see _stream_kernel); batch-1 (the latency headline) is unaffected."""
+    pe = 2 if (_PAIR and x.shape[0] % 2 == 0) else 1
+    return _fused_mixer_stream_impl(x, sp, pe=pe, dtype=dtype, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("pe", "dtype", "interpret"))
+def _fused_mixer_stream_impl(x, sp, *, pe, dtype, interpret):
     b, t, d = x.shape
     L, _, et = sp["t1"].shape
     ec = sp["w2"].shape[1]
@@ -404,7 +422,7 @@ def fused_mixer_stream(x, sp, *, dtype=jnp.float32, interpret=False):
         sp["t2"], sp["t2b"], sp["w1f"], sp["b1f"], sp["w2"], sp["b2"],
     )
     in_specs = [
-        pl.BlockSpec((1, t, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((pe, t, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
         wspec(1, d), wspec(1, d), wspec(t, et), wspec(et, 1), wspec(et, t),
         wspec(t, 1), wspec(d, ec), wspec(1, ec), wspec(ec, d), wspec(1, d),
     ]
@@ -413,15 +431,15 @@ def fused_mixer_stream(x, sp, *, dtype=jnp.float32, interpret=False):
     wbytes = (t * et + et * t + d * ec + ec * d) * itemsize
     return pl.pallas_call(
         functools.partial(_stream_kernel, dtype=dtype),
-        grid=(b, L),
+        grid=(b // pe, L),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, t, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
+            (pe, t, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
         cost_estimate=pl.CostEstimate(
             flops=b * L * flops,
-            bytes_accessed=2 * b * t * d * itemsize + b * L * wbytes,
+            bytes_accessed=2 * b * t * d * itemsize + (b // pe) * L * wbytes,
             transcendentals=b * L * (t * ec + et * d),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

@@ -248,6 +248,29 @@ class TestStackedLayout:
         out = fused_mixer_stream(h, sp, dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)
 
+    def test_stream_pair_mode_bit_exact(self, monkeypatch):
+        """FFVC_MIXER_PAIR=1 on the depth-streaming kernel (two batch elements
+        per grid step — halves per-element weight streaming) is a scheduling/
+        traffic change only: bit-exact vs unpaired, odd batches fall back."""
+        from feed_forward_vqgan_clip_tpu.ops.pallas import mixer_block as mb
+        from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
+            fused_mixer_stream,
+            stack_mixer_params,
+        )
+
+        mapper, params, _ = _mk(jnp.float32, dim=128, depth=3)
+        p = params["params"]
+        sp = stack_mixer_params(
+            [p[f"block_{i}"] for i in range(3)], dtype=jnp.float32
+        )
+        h = jax.random.normal(jax.random.PRNGKey(9), (4, 256, 128))
+        single = fused_mixer_stream(h, sp, dtype=jnp.float32, interpret=True)
+        monkeypatch.setattr(mb, "_PAIR", True)
+        paired = fused_mixer_stream(h, sp, dtype=jnp.float32, interpret=True)
+        assert np.array_equal(np.asarray(paired), np.asarray(single))
+        odd = fused_mixer_stream(h[:3], sp, dtype=jnp.float32, interpret=True)
+        assert np.array_equal(np.asarray(odd), np.asarray(single[:3]))
+
     def test_stacked_block_matches_per_block(self):
         from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import (
             fused_mixer_block,

@@ -17,6 +17,7 @@ TPU design:
     (SURVEY.md §5: largest sequence in the system is ~1k tokens).
 """
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -111,16 +112,99 @@ class AttnBlock(nn.Module):
         return x + out
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter container with nn.Conv's exact {kernel (3,3,Cin,Cout) HWIO,
+    bias (Cout,)} layout/init, so Upsample's param tree (and therefore the
+    torch converter and every checkpoint) is identical across both compute
+    paths below."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+# Phase-fold matrices for the fast Upsample path (see Upsample docstring).
+# Row a of R[p] gives the original-kernel row taps that land on the a-th input
+# row of phase p's 2x2 window: NN-2x duplication collapses the 3 kernel rows
+# onto at most 2 distinct input rows per output phase.
+_PHASE_FOLD = jnp.asarray(
+    [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],   # even output rows: I[Y-1]*K0, I[Y]*(K1+K2)
+     [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]],  # odd  output rows: I[Y]*(K0+K1), I[Y+1]*K2
+    jnp.float32,
+)
+
+_FAST_UPSAMPLE = os.environ.get("FFVC_FAST_UPSAMPLE", "1") not in ("0", "false")
+
+
 class Upsample(nn.Module):
-    """Nearest-neighbor 2x upsample followed by a 3x3 conv (taming's Upsample)."""
+    """Nearest-neighbor 2x upsample followed by a 3x3 conv (taming's Upsample).
+
+    Two mathematically identical compute paths:
+      * naive: materialize the (2H, 2W) NN-upsampled tensor, 3x3 conv pad 1 —
+        the reference graph, 36 MACs per output pixel per (Cin->Cout) pair.
+      * fast (default, FFVC_FAST_UPSAMPLE=0 reverts): because NN duplication
+        makes the 3x3 window read at most 2x2 DISTINCT input pixels per output
+        phase, fold the kernel per phase (K2[p,q] = R[p] K R[q]^T over tap
+        space, output channels stacked 4*Cout) and run ONE VALID 2x2 conv on
+        the once-padded (H+2, W+2) input, then pixel-shuffle the 4 phase
+        groups — 16 MACs per output pixel, a 2.25x FLOP cut on the decoder's
+        four upsample convs (~35 of its 270 GFLOP/img at 256px), and the
+        (2H, 2W, C) pre-conv intermediate is never materialized. Numerics
+        differ only by the f32 pre-summing of adjacent taps (folded BEFORE the
+        compute-dtype cast, so bf16 sees one rounding where the naive path
+        rounds each tap) — within oracle tolerance, tested bit-tight in f32.
+
+    The parameter tree is nn.Conv-compatible ({conv: {kernel, bias}}) in both
+    paths; gradients flow through the fold, so training takes the same cut.
+    """
 
     dtype: Any = jnp.float32
+    fast: Any = None  # None -> FFVC_FAST_UPSAMPLE (default on); tests override
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        k, bias = _Conv3x3Params(c, c, name="conv")()
+        fast = _FAST_UPSAMPLE if self.fast is None else self.fast
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not fast:
+            u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2).astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                u, k.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=dn,
+            )
+            return out + bias.astype(self.dtype)
+        # K2[p,q,a,b,u,v] = sum_ij R[p,a,i] K[i,j,u,v] R[q,b,j]; output-channel
+        # layout (p, q, v) so one conv computes all four phases
+        k2 = jnp.einsum(
+            "pai,ijuv,qbj->abupqv", _PHASE_FOLD, k.astype(jnp.float32), _PHASE_FOLD
+        ).reshape(2, 2, c, 4 * c)
+        pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(self.dtype)
+        yf = jax.lax.conv_general_dilated(
+            pad, k2.astype(self.dtype), (1, 1), "VALID", dimension_numbers=dn
+        )  # (B, H+1, W+1, 4C); phase (p,q) lives at spatial offset (p,q)
+        ph = yf.reshape(b, h + 1, w + 1, 2, 2, c)
+        y00 = ph[:, 0:h, 0:w, 0, 0]
+        y01 = ph[:, 0:h, 1 : w + 1, 0, 1]
+        y10 = ph[:, 1 : h + 1, 0:w, 1, 0]
+        y11 = ph[:, 1 : h + 1, 1 : w + 1, 1, 1]
+        out = (
+            jnp.stack([y00, y01, y10, y11], axis=3)
+            .reshape(b, h, w, 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, 2 * h, 2 * w, c)
+        )
+        return out + bias.astype(self.dtype)
 
 
 class Decoder(nn.Module):

@@ -144,6 +144,42 @@ class TestBlocksParity:
         assert got.shape == (1, 6, 6, c)
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_upsample_fast_matches_naive(self, rng):
+        """The phase-decomposed Upsample path (2x2 conv + pixel shuffle at
+        16/36 of the FLOPs — models/vqgan.Upsample docstring) computes the
+        SAME function as NN-2x + 3x3 conv: f32 outputs agree to tap-presum
+        rounding, and grads to both kernel and input match."""
+        c = 16
+        x = jnp.asarray(rng.normal(size=(2, 7, 5, c)), jnp.float32)
+        params = Upsample(fast=False).init(jax.random.PRNGKey(3), x)
+        naive = Upsample(fast=False).apply(params, x)
+        fast = Upsample(fast=True).apply(params, x)
+        assert fast.shape == naive.shape == (2, 14, 10, c)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(naive), atol=1e-5, rtol=1e-5
+        )
+
+        def loss(mod, p, x):
+            return jnp.sum(jnp.sin(mod.apply(p, x)))
+
+        gp_n, gx_n = jax.grad(lambda p, x: loss(Upsample(fast=False), p, x), (0, 1))(params, x)
+        gp_f, gx_f = jax.grad(lambda p, x: loss(Upsample(fast=True), p, x), (0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n), atol=1e-4)
+        for a, b in zip(jax.tree.leaves(gp_f), jax.tree.leaves(gp_n)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_upsample_fast_bf16(self, rng):
+        """bf16 compute: the fast path folds taps in f32 BEFORE the bf16 cast,
+        so it stays within bf16 rounding of the naive bf16 path."""
+        c = 16
+        x = jnp.asarray(rng.normal(size=(1, 6, 6, c)), jnp.float32)
+        params = Upsample(fast=False).init(jax.random.PRNGKey(4), x)
+        naive = Upsample(fast=False, dtype=jnp.bfloat16).apply(params, x)
+        fast = Upsample(fast=True, dtype=jnp.bfloat16).apply(params, x)
+        scale = float(jnp.max(jnp.abs(naive.astype(jnp.float32)))) + 1e-6
+        diff = float(jnp.max(jnp.abs((fast - naive).astype(jnp.float32))))
+        assert diff / scale < 0.05, (diff, scale)
+
 
 class TestVQGAN:
     def test_decode_shapes_and_upsampling_factor(self, rng):

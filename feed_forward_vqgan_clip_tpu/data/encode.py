@@ -18,6 +18,8 @@ the reference's silent degradation on a failed pyiqa import.
 
 import logging
 import os
+import queue
+import threading
 from glob import glob
 from io import BytesIO
 from typing import Optional
@@ -160,6 +162,47 @@ def encode_text_and_images(
     return out
 
 
+def _iter_preprocessed(tars, img_col, txt_col, size):
+    """(preprocessed NHWC array, decoded text) per valid sample; corrupt
+    samples are warned and skipped (webdataset's warn-and-continue)."""
+    for img_bytes, txt_bytes in iter_shards(tars, [img_col, txt_col]):
+        try:
+            img = Image.open(BytesIO(img_bytes))
+            yield (
+                preprocess_image(img, size),
+                txt_bytes.decode("utf-8", errors="replace"),
+            )
+        except Exception as e:
+            log.warning("skipping sample: %s", e)
+
+
+def _prefetched(gen, depth):
+    """Run `gen` on a producer thread, yielding through a bounded queue.
+    Order-preserving (single producer); producer exceptions re-raise at the
+    consumer; the thread is a daemon so an aborted consume can't hang exit."""
+    q: queue.Queue = queue.Queue(maxsize=max(2, depth))
+    end = object()
+    err: list = []
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # re-raised below, not swallowed
+            err.append(e)
+        finally:
+            q.put(end)
+
+    threading.Thread(target=run, daemon=True, name="ffvc-encode-prefetch").start()
+    while True:
+        item = q.get()
+        if item is end:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def encode_text_and_images_webdataset(
     pattern: str,
     *,
@@ -174,6 +217,7 @@ def encode_text_and_images_webdataset(
     nima_weights_path: Optional[str] = None,
     merge: bool = False,
     spill_rows: int = 1_000_000,
+    prefetch: bool = True,
 ):
     nima_fn = None
     if image_quality_threshold is not None:
@@ -266,14 +310,17 @@ def encode_text_and_images_webdataset(
         batch_imgs.clear()
         batch_texts.clear()
 
-    for img_bytes, txt_bytes in iter_shards(tars, [img_col, txt_col]):
-        try:
-            img = Image.open(BytesIO(img_bytes))
-            batch_imgs.append(preprocess_image(img, size))
-            batch_texts.append(txt_bytes.decode("utf-8", errors="replace"))
-        except Exception as e:
-            log.warning("skipping sample: %s", e)
-            continue
+    samples = _iter_preprocessed(tars, img_col, txt_col, size)
+    if prefetch:
+        # overlap host-side tar IO + JPEG decode + bicubic preprocess with the
+        # device encode of the previous batch (the dominant two costs of a
+        # CC12M-scale encode run otherwise strictly alternate). Single producer
+        # thread -> sample ORDER (and therefore the output feature order) is
+        # identical to the sequential path.
+        samples = _prefetched(samples, depth=2 * batch_size)
+    for arr, text in samples:
+        batch_imgs.append(arr)
+        batch_texts.append(text)
         if len(batch_imgs) >= batch_size:
             flush()
     flush()

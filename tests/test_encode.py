@@ -155,6 +155,32 @@ def test_webdataset_spill_shards_equivalent(tmp_path):
     assert not list(tmp_path.glob("*.spill_*")), "spill shards not cleaned up"
 
 
+def test_webdataset_prefetch_matches_sequential(tmp_path):
+    """The producer-thread prefetch (encode._prefetched, default on) must not
+    change output CONTENT or ORDER vs prefetch=False, and must skip corrupt
+    members identically."""
+    import tarfile
+
+    p = str(tmp_path / "shard0.tar")
+    with tarfile.open(p, "w") as tf:
+        for i, color in enumerate([(255, 0, 0), (0, 255, 0), (7, 7, 7)]):
+            img, txt = _png_bytes(color), f"caption {i}".encode()
+            if i == 1:
+                img = b"not an image"  # corrupt member: warn-and-skip
+            for col, payload in (("input.jpg", img), ("output.txt", txt)):
+                info = tarfile.TarInfo(f"{i:03d}.{col}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+    seq = str(tmp_path / "seq.npz")
+    pre = str(tmp_path / "pre.npz")
+    encode_text_and_images_webdataset(p, out=seq, batch_size=2, prefetch=False)
+    encode_text_and_images_webdataset(p, out=pre, batch_size=2, prefetch=True)
+    a, b = np.load(seq), np.load(pre)
+    assert a["x"].shape[0] == 2  # corrupt member dropped
+    np.testing.assert_array_equal(a["x"], b["x"])
+    np.testing.assert_array_equal(a["y"], b["y"])
+
+
 def test_merge_features_bounded_memory_uses_memmap(tmp_path):
     """The merge's working arrays are disk-backed (np.memmap) and the temp
     files are removed afterwards."""

@@ -30,8 +30,12 @@ def _to_numpy_tree(tree):
 
 
 def save_pytree(path: str, tree) -> None:
-    with open(path, "wb") as fd:
+    """Atomic write (tmp + rename): a crash mid-write can never tear an
+    existing checkpoint file — the previous complete version survives."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fd:
         fd.write(serialization.to_bytes(_to_numpy_tree(tree)))
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, like=None):
@@ -54,14 +58,19 @@ def save_checkpoint(
     """Write `<folder>/<name>/` with params.msgpack + meta.json (+ noise.npy)."""
     path = os.path.join(folder, name)
     os.makedirs(path, exist_ok=True)
+    # params and noise first (each atomically), meta.json LAST — its rename is
+    # the commit point checkpoint_exists/load_checkpoint key off
     save_pytree(os.path.join(path, "params.msgpack"), params)
+    if noise is not None:
+        ntmp = os.path.join(path, "noise.npy.tmp")
+        with open(ntmp, "wb") as fd:
+            np.save(fd, np.asarray(noise))
+        os.replace(ntmp, os.path.join(path, "noise.npy"))
     meta = {"config": dict(config), "step": int(step), "epoch": int(epoch)}
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as fd:
         json.dump(meta, fd, default=str)
     os.replace(tmp, os.path.join(path, "meta.json"))
-    if noise is not None:
-        np.save(os.path.join(path, "noise.npy"), np.asarray(noise))
     return path
 
 

@@ -534,6 +534,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         return last
 
     t_start = time.time()
+    saver = _AsyncSaver()  # background checkpoint writer (one write in flight)
     with mesh:
         for epoch in range(epoch0, epochs):
             for ids in _epoch_ids(epoch):
@@ -565,7 +566,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
                         cfg, folder, mapper, frozen, state, fz, batch, render,
                         step, epoch, noise_bank, decode_tokens, writer,
                         fixed_inp_global, noise_dim, clip_dim,
-                        inp_is_tokens, primary,
+                        inp_is_tokens, primary, saver,
                     )
                     if eval_data is not None:
                         ed, es = _run_eval(
@@ -597,13 +598,17 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
                 step += 1
                 if max_steps is not None and step >= int(max_steps):
                     _flush_scalars()
-                    _save_all(folder, cfg, state, step, epoch, noise_bank, primary)
+                    _save_all(folder, cfg, state, step, epoch, noise_bank, primary,
+                              saver=saver)
+                    saver.wait()  # files complete before returning
                     log.info(
                         "Reached max_steps=%s in %.1fs", max_steps, time.time() - t_start
                     )
                     return state
     _flush_scalars()
-    _save_all(folder, cfg, state, step, max(epochs - 1, epoch0), noise_bank, primary)
+    _save_all(folder, cfg, state, step, max(epochs - 1, epoch0), noise_bank, primary,
+              saver=saver)
+    saver.wait()
     return state
 
 
@@ -616,26 +621,69 @@ def _make_token_decoder():
         return None
 
 
-def _save_all(folder, cfg, state, step, epoch, noise_bank, primary=True):
+class _AsyncSaver:
+    """Single-slot background checkpoint writer: at most one write in flight;
+    submit() joins the previous write first (ordering) and re-raises any write
+    error (disk-full is never silent). wait() must run before the train loop
+    returns so files are complete on exit."""
+
+    def __init__(self):
+        self._t = None
+        self._err = None
+
+    def submit(self, fn):
+        import threading
+
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced at the next submit/wait
+                self._err = e
+
+        self._t = threading.Thread(target=run, daemon=True, name="ffvc-ckpt-writer")
+        self._t.start()
+
+    def wait(self):
+        if self._t is not None:
+            self._t.join()
+            self._t = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+def _save_all(folder, cfg, state, step, epoch, noise_bank, primary=True, saver=None):
     """Checkpoint params/EMA/opt. COLLECTIVE on a pod: host_tree allgathers any
     model-axis-sharded leaves, so every process must reach this call; only the
-    primary writes files."""
+    primary writes files. The device->host gather is synchronous (numpy copies,
+    so no donated-buffer hazard); with `saver` the file writes (msgpack
+    serialize + disk IO, the slow part at flagship scale) run on a background
+    thread instead of stalling the step loop."""
     params = meshlib.host_tree(state.params)
     ema = meshlib.host_tree(state.ema_params) if state.ema_params is not None else None
     opt = meshlib.host_tree(state.opt_state)
     if not primary:
         return
-    ckpt_io.save_checkpoint(folder, "checkpoint", params, cfg, step, epoch, noise_bank)
-    if ema is not None:
-        ckpt_io.save_checkpoint(folder, "checkpoint_ema", ema, cfg, step, epoch, noise_bank)
-    os.makedirs(os.path.join(folder, "opt"), exist_ok=True)
-    ckpt_io.save_pytree(os.path.join(folder, "opt", "state.msgpack"), opt)
+
+    def write():
+        ckpt_io.save_checkpoint(folder, "checkpoint", params, cfg, step, epoch, noise_bank)
+        if ema is not None:
+            ckpt_io.save_checkpoint(folder, "checkpoint_ema", ema, cfg, step, epoch, noise_bank)
+        os.makedirs(os.path.join(folder, "opt"), exist_ok=True)
+        ckpt_io.save_pytree(os.path.join(folder, "opt", "state.msgpack"), opt)
+
+    if saver is not None:
+        saver.submit(write)
+    else:
+        write()
 
 
 def _log_step_artifacts(
     cfg, folder, mapper, frozen, state, fz, batch, render, step, epoch,
     noise_bank, decode_tokens, writer, fixed_inp_global,
-    noise_dim, clip_dim, inp_is_tokens, primary,
+    noise_dim, clip_dim, inp_is_tokens, primary, saver=None,
 ):
     """progress grids + prompt sidecars + checkpoints (main.py:899-949).
 
@@ -669,7 +717,7 @@ def _log_step_artifacts(
                 with open(os.path.join(folder, name), "w") as fd:
                     fd.write(text)
 
-    _save_all(folder, cfg, state, step, epoch, noise_bank, primary)
+    _save_all(folder, cfg, state, step, epoch, noise_bank, primary, saver=saver)
 
     # fixed-batch preview with EMA params when enabled (main.py:920-949)
     net_in = _features_for(frozen, fz, fixed_inp_global, inp_is_tokens, cfg)

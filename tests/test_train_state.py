@@ -107,3 +107,40 @@ def test_bf16_opt_state_msgpack_roundtrip(tmp_path):
 def test_bad_opt_dtype_raises(bad):
     with pytest.raises(TypeError):
         make_optimizer(1e-3, opt_dtype=bad)
+
+
+def test_save_pytree_is_atomic(tmp_path):
+    """save_pytree goes through tmp+rename: no .tmp residue, and an existing
+    file is either the old or the new complete version — never torn."""
+    from feed_forward_vqgan_clip_tpu.io import checkpoint as ckpt_io
+
+    path = str(tmp_path / "t.msgpack")
+    ckpt_io.save_pytree(path, {"a": np.arange(3)})
+    ckpt_io.save_pytree(path, {"a": np.arange(3) + 1})
+    assert not list(tmp_path.glob("*.tmp"))
+    got = ckpt_io.load_pytree(path)
+    np.testing.assert_array_equal(got["a"], np.arange(3) + 1)
+
+
+def test_async_saver_orders_and_raises():
+    """_AsyncSaver: writes run in submit order (single slot), and a failed
+    write re-raises at the next submit/wait instead of being swallowed."""
+    from feed_forward_vqgan_clip_tpu.train.loop import _AsyncSaver
+
+    s = _AsyncSaver()
+    seen = []
+    s.submit(lambda: seen.append(1))
+    s.submit(lambda: seen.append(2))  # joins the first before starting
+    s.wait()
+    assert seen == [1, 2]
+
+    def boom():
+        raise IOError("disk full")
+
+    s.submit(boom)
+    with pytest.raises(IOError, match="disk full"):
+        s.wait()
+    # the error is cleared after being raised once
+    s.submit(lambda: seen.append(3))
+    s.wait()
+    assert seen == [1, 2, 3]

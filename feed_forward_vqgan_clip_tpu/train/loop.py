@@ -176,12 +176,21 @@ def make_train_step(
     aug_dtype = jnp.dtype(cfg.get("aug_dtype") or _dtype_of(cfg))
     perceptor, vq = frozen.perceptor, frozen.vq_module
     # dropout==0 forwards route through the Pallas fused-block train path when
-    # supported (custom_vjp backward kernels; FFVC_FUSED_TRAIN=0 reverts)
+    # supported (custom_vjp backward kernels; FFVC_FUSED_TRAIN=0 reverts).
     from feed_forward_vqgan_clip_tpu.models.mappers.fused import (
         make_mapper_train_apply,
     )
 
-    mapper_train_apply = make_mapper_train_apply(mapper)
+    # Tensor parallelism ('model' axis > 1) forces the XLA module path: the
+    # fused kernels hold WHOLE weight tensors per grid step and declare no
+    # partitioning rule, so under TP they would force all-gathers of the
+    # model-sharded FFN kernels (or fail to partition) instead of computing on
+    # the shards — XLA's einsum path partitions the TP contraction natively.
+    ms = cfg.get("mesh_shape")
+    tp_active = isinstance(ms, dict) and int(ms.get("model", 1) or 1) > 1
+    mapper_train_apply = make_mapper_train_apply(
+        mapper, fused=False if tp_active else None
+    )
 
     def loss_fn(params, fz, batch, key):
         z_lo, z_hi = latent_bounds(fz["vq"])

@@ -116,12 +116,26 @@ class TestTrainE2E:
         H = jax.random.normal(jax.random.PRNGKey(0), (1, 32))
         assert np.asarray(gen.generate(H, nb_repeats=3, seed=0)).shape == (3, 8, 8, 3)
 
-    def test_mesh_2d_model_axis(self, tmp_path, feature_data):
+    def test_mesh_2d_model_axis(self, tmp_path, feature_data, monkeypatch):
         # 4-way data x 2-way tensor parallel over the 8 virtual devices
         cfg = _base_cfg(
             tmp_path, path=feature_data, mesh_shape={"data": 4, "model": 2},
         )
+        # TP must force the XLA module path for the mapper: the fused Pallas
+        # kernels hold whole weight tensors and declare no partitioning rule
+        # (train/loop.py tp_active gate)
+        from feed_forward_vqgan_clip_tpu.models.mappers import fused as F
+
+        seen = {}
+        orig = F.make_mapper_train_apply
+
+        def spy(mapper, **kw):
+            seen.update(kw)
+            return orig(mapper, **kw)
+
+        monkeypatch.setattr(F, "make_mapper_train_apply", spy)
         state = train(cfg)
+        assert seen.get("fused") is False
         assert int(state.step) == 3
         # TP must actually shard the mixer FFN kernels over 'model'
         from jax.sharding import PartitionSpec as P

@@ -150,6 +150,7 @@ def make_train_step(
     *,
     inp_is_tokens: bool,
     out_is_tokens: bool,
+    mesh=None,
 ):
     """Build the jitted train step. Static structure (loss terms, token-vs-feature
     dispatch, cutn/repeat) is baked in; all arrays flow as arguments."""
@@ -191,6 +192,53 @@ def make_train_step(
     mapper_train_apply = make_mapper_train_apply(
         mapper, fused=False if tp_active else None
     )
+    # ---- data-parallel cutout/augment stage. pallas_call has no GSPMD
+    # partitioning rule: left inside a plain sharded jit on a pod, the warp
+    # kernels would be computed on the gathered GLOBAL batch by every device.
+    # With data > 1 the stage runs under shard_map instead — each device warps
+    # only its local batch shard. The local (cutn*local_b) cutn-major output is
+    # reshaped to (cutn, local_b) and recombined over dim 1, so the GLOBAL
+    # cutn-major row order (and therefore the H/embed row pairing downstream)
+    # is identical to the single-device path. Aug randomness folds in
+    # axis_index('data') — per-shard independent draws, the reference's
+    # per-Horovod-rank torch RNG semantics (not bitwise the 1-chip draw).
+    data_par = mesh is not None and int(dict(getattr(mesh, "shape", {})).get("data", 1)) > 1
+    if data_par and not tp_active:
+        # same GSPMD blind spot as the warps: under pure DP, run the mapper
+        # forward/backward per-shard (params replicated in, shard_map's
+        # transpose psums the param cotangents across 'data' automatically)
+        from jax.sharding import PartitionSpec as P
+
+        _mapper_apply_local = mapper_train_apply
+
+        def mapper_train_apply(params, xin):  # noqa: F811 - deliberate rebind
+            # check_vma=False: the static varying-axes checker is conservative
+            # about hand-written custom_vjp bwd rules (it demands their
+            # cotangents carry matching vma tags); the computation here is
+            # structurally batch-parallel with replicated params.
+            return jax.shard_map(
+                _mapper_apply_local, mesh=mesh,
+                in_specs=(P(), P("data")), out_specs=P("data"),
+                check_vma=False,
+            )(params, xin)
+
+    def cut_stage(kc, xr):
+        if not data_par:
+            return make_cutouts(kc, xr)
+        from jax.sharding import PartitionSpec as P
+
+        cutn_local = make_cutouts.cutn
+
+        def local(kc, xr_l):
+            kl = jax.random.fold_in(kc, jax.lax.axis_index("data"))
+            out = make_cutouts(kl, xr_l)
+            return out.reshape(cutn_local, xr_l.shape[0], *out.shape[1:])
+
+        out = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=P(None, "data"), check_vma=False,
+        )(kc, xr)
+        return out.reshape(-1, *out.shape[2:])
 
     def loss_fn(params, fz, batch, key):
         z_lo, z_hi = latent_bounds(fz["vq"])
@@ -244,7 +292,7 @@ def make_train_step(
             div = jnp.float32(0.0)
 
         key, kc = jax.random.split(key)
-        x = make_cutouts(kc, xr.astype(aug_dtype))  # (cutn*repeat*bs, h, w, 3)
+        x = cut_stage(kc, xr.astype(aug_dtype))  # (cutn*repeat*bs, h, w, 3)
         x = (x - mean.astype(aug_dtype)) / std.astype(aug_dtype)
         embed = perceptor.module.apply(fz["clip"], x, method=perceptor.module.encode_image)
         embed = normalize(embed.astype(jnp.float32))
@@ -417,7 +465,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     )
     train_step, _ = make_train_step(
         cfg, mapper, frozen, make_cutouts,
-        inp_is_tokens=inp_is_tokens, out_is_tokens=out_is_tokens,
+        inp_is_tokens=inp_is_tokens, out_is_tokens=out_is_tokens, mesh=mesh,
     )
     render = make_render_fn(cfg, mapper, frozen)
 

@@ -75,6 +75,43 @@ class TestRuleAssignment:
 
 @pytest.mark.slow
 class TestShardedForwardParity:
+    def test_shard_map_mapper_grads_match_unsharded(self):
+        """The DP shard_map wrap of the mapper train apply (train/loop.py
+        data_par path: params replicated in, batch split over 'data', param
+        cotangents psum'd by shard_map's transpose) must reproduce the
+        unsharded value_and_grad exactly (same math, different partitioning)."""
+        mapper, params = _build("mlp_mixer")
+        x = jax.random.normal(jax.random.PRNGKey(2), (8, 32), jnp.float32)
+
+        def loss(apply_fn, p, xb):
+            return jnp.mean(jnp.square(apply_fn(p, xb)))
+
+        ref_l, ref_g = jax.value_and_grad(
+            lambda p: loss(lambda p_, x_: mapper.apply(p_, x_), p, x)
+        )(params)
+        mesh = meshlib.make_mesh({"data": 8, "model": 1})
+        with mesh:
+            placed = jax.tree.map(
+                lambda a: jax.device_put(a, meshlib.replicated(mesh)), params
+            )
+            xb = jax.device_put(x, meshlib.data_sharding(mesh))
+
+            def wrapped(p, xin):
+                return jax.shard_map(
+                    lambda p_, x_: mapper.apply(p_, x_), mesh=mesh,
+                    in_specs=(P(), P("data")), out_specs=P("data"),
+                    check_vma=False,
+                )(p, xin)
+
+            got_l, got_g = jax.jit(
+                jax.value_and_grad(lambda p: loss(wrapped, p, xb))
+            )(placed)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
+
     def test_tp_forward_matches_replicated(self):
         for mt in ("mlp_mixer", "vitgan", "xtransformer"):
             mapper, params = _build(mt)

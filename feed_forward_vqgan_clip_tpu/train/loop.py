@@ -142,6 +142,15 @@ def build_frozen(cfg: TrainConfig, dtype) -> FrozenModels:
     return FrozenModels(perceptor, vq, vq_params, vgg_module, vgg_params, eval_p)
 
 
+def _use_pallas_for(cfg, mesh):
+    """cfg's use_pallas, forced off on a multi-device mesh: the Pallas VQ
+    lookup has no GSPMD partitioning rule, and XLA's lookup partitions
+    natively (see make_train_step's data_par note)."""
+    if mesh is not None and int(dict(getattr(mesh, "shape", {})).get("data", 1)) > 1:
+        return False
+    return cfg.get("use_pallas")
+
+
 def make_train_step(
     cfg: TrainConfig,
     mapper,
@@ -168,7 +177,6 @@ def make_train_step(
     diversity_mode = str(cfg.get("diversity_mode"))
     mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 1, 3)
     std = jnp.asarray(CLIP_STD).reshape(1, 1, 1, 3)
-    use_pallas = cfg.get("use_pallas")
     # cutout/augment stage dtype: follows compute_dtype unless overridden —
     # in bf16 the geometric warps run the single-pass Pallas kernel mode (3x
     # fewer MXU passes, half the window DMA; BENCH_NOTES.md round 3). The
@@ -203,6 +211,10 @@ def make_train_step(
     # axis_index('data') — per-shard independent draws, the reference's
     # per-Horovod-rank torch RNG semantics (not bitwise the 1-chip draw).
     data_par = mesh is not None and int(dict(getattr(mesh, "shape", {})).get("data", 1)) > 1
+    # the Pallas VQ lookup inside synth has the same GSPMD blind spot as the
+    # warps; on a multi-device mesh _use_pallas_for returns False (XLA's
+    # lookup partitions natively, ~1.6 ms slower at B=64)
+    use_pallas = _use_pallas_for(cfg, mesh)
     if data_par and not tp_active:
         # same GSPMD blind spot as the warps: under pure DP, run the mapper
         # forward/backward per-shard (params replicated in, shard_map's
@@ -321,9 +333,9 @@ def make_train_step(
     return train_step, loss_fn
 
 
-def make_render_fn(cfg: TrainConfig, mapper, frozen: FrozenModels):
+def make_render_fn(cfg: TrainConfig, mapper, frozen: FrozenModels, mesh=None):
     """images for previews: params, features(+noise) -> synth output (no cutouts)."""
-    use_pallas = cfg.get("use_pallas")
+    use_pallas = _use_pallas_for(cfg, mesh)
 
     @jax.jit
     def render(params, fz, net_in):
@@ -335,11 +347,12 @@ def make_render_fn(cfg: TrainConfig, mapper, frozen: FrozenModels):
     return render
 
 
-def make_eval_step(cfg: TrainConfig, mapper, frozen: FrozenModels, eval_p: Perceptor):
+def make_eval_step(cfg: TrainConfig, mapper, frozen: FrozenModels, eval_p: Perceptor,
+                   mesh=None):
     """In-train eval (main.py:866-896): no-cutout pass, bilinear resize to
     clip_size, CLIP score with the eval perceptor's logit scale."""
     clip_size = eval_p.size
-    use_pallas = cfg.get("use_pallas")
+    use_pallas = _use_pallas_for(cfg, mesh)
 
     @jax.jit
     def eval_step(params, fz, eval_fz, feats):
@@ -467,13 +480,13 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         cfg, mapper, frozen, make_cutouts,
         inp_is_tokens=inp_is_tokens, out_is_tokens=out_is_tokens, mesh=mesh,
     )
-    render = make_render_fn(cfg, mapper, frozen)
+    render = make_render_fn(cfg, mapper, frozen, mesh=mesh)
 
     eval_data = None
     if cfg.get("eval_path"):
         eval_data = load_dataset(cfg.get("eval_path"))
         eval_p = frozen.eval_perceptor or frozen.perceptor
-        eval_step = make_eval_step(cfg, mapper, frozen, eval_p)
+        eval_step = make_eval_step(cfg, mapper, frozen, eval_p, mesh=mesh)
         eval_fz = meshlib.replicate(mesh, eval_p.params)
 
     writer = None

@@ -318,8 +318,7 @@ def make_train_step(
         loss = dists - diversity_coef * div + l2_coef * l2 + tv_coef * tv
         return loss, {"loss": loss, "dists": dists, "diversity": div, "l2": l2, "tv": tv}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, fz, batch, key):
+    def _step_body(state: TrainState, fz, batch, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, fz, batch, key
         )
@@ -330,6 +329,11 @@ def make_train_step(
         )
         return state, metrics
 
+    train_step = functools.partial(jax.jit, donate_argnums=(0,))(_step_body)
+    # un-jitted body for callers that need to compose steps inside one jit
+    # (bench.py's scan-chained train timing — the axon tunnel's per-dispatch
+    # overhead stays out of the measurement that way)
+    train_step.body = _step_body
     return train_step, loss_fn
 
 

@@ -114,9 +114,14 @@ def test_pair_mode_bit_exact(monkeypatch):
     p = params["params"]["block_0"]
     h = jax.random.normal(jax.random.PRNGKey(2), (4, 256, 128), jnp.float32)
     single = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
+    single16 = fused_mixer_block(h, p, dtype=jnp.bfloat16, interpret=True)
     monkeypatch.setattr(mb, "_PAIR", True)
     paired = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
     assert np.array_equal(np.asarray(paired), np.asarray(single))
+    paired16 = fused_mixer_block(h, p, dtype=jnp.bfloat16, interpret=True)
+    assert np.array_equal(
+        np.asarray(paired16, np.float32), np.asarray(single16, np.float32)
+    )
     odd = fused_mixer_block(h[:3], p, dtype=jnp.float32, interpret=True)
     assert np.array_equal(np.asarray(odd), np.asarray(single[:3]))
 

@@ -143,7 +143,7 @@ _PHASE_FOLD = jnp.asarray(
     jnp.float32,
 )
 
-_FAST_UPSAMPLE = os.environ.get("FFVC_FAST_UPSAMPLE", "1") not in ("0", "false")
+_FAST_UPSAMPLE = os.environ.get("FFVC_FAST_UPSAMPLE", "0") not in ("0", "false")
 
 
 class Upsample(nn.Module):
@@ -152,7 +152,7 @@ class Upsample(nn.Module):
     Two mathematically identical compute paths:
       * naive: materialize the (2H, 2W) NN-upsampled tensor, 3x3 conv pad 1 —
         the reference graph, 36 MACs per output pixel per (Cin->Cout) pair.
-      * fast (default, FFVC_FAST_UPSAMPLE=0 reverts): because NN duplication
+      * fast (opt-in via FFVC_FAST_UPSAMPLE=1): because NN duplication
         makes the 3x3 window read at most 2x2 DISTINCT input pixels per output
         phase, fold the kernel per phase (K2[p,q] = R[p] K R[q]^T over tap
         space, output channels stacked 4*Cout) and run ONE VALID 2x2 conv on
@@ -166,10 +166,19 @@ class Upsample(nn.Module):
 
     The parameter tree is nn.Conv-compatible ({conv: {kernel, bias}}) in both
     paths; gradients flow through the fold, so training takes the same cut.
+
+    MEASURED (v5e, 2026-08-18, B=64 @256px): the fast path is a net LOSS on
+    TPU — clamp+synth 116.57 ms vs 98.02 ms naive, full bench 337.3 vs
+    ~377 img/s — despite the 2.25x FLOP cut (XLA cost model confirms 402.1 vs
+    428.3 live GFLOP/img). The phase slicing + depth-to-space interleave is
+    pure relayout traffic on (B, 2H, 2W, C)-scale tensors, and the naive
+    upsample convs were already near the decoder's ~91% FLOP-util, i.e. not
+    the bottleneck the cost model suggested. Default is therefore OFF; the
+    path stays available (and parity-pinned) for bandwidth-rich backends.
     """
 
     dtype: Any = jnp.float32
-    fast: Any = None  # None -> FFVC_FAST_UPSAMPLE (default on); tests override
+    fast: Any = None  # None -> FFVC_FAST_UPSAMPLE (default OFF); tests override
 
     @nn.compact
     def __call__(self, x):

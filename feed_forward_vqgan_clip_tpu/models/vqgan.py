@@ -342,14 +342,18 @@ def make_vqgan(config: dict, dtype=jnp.float32) -> VQGAN:
     )
 
 
-def synth(vqgan: VQGAN, params, z, *, use_pallas="auto"):
+def synth(vqgan: VQGAN, params, z, *, use_pallas="auto", data_mesh=None):
     """z (B, S, S, C) latent -> image (B, 16S, 16S, 3) in [0, 1].
 
     Parity with the reference's `synth` (/root/reference/main.py:140-143):
     vector_quantize (straight-through) -> decode -> (x+1)/2 -> clamp_with_grad.
+
+    `data_mesh`: forwarded to vector_quantize — shard_maps the Pallas index
+    search over the 'data' axis on a DP mesh (the decoder itself partitions
+    natively under GSPMD and needs no wrapping).
     """
     codebook = params["params"]["codebook"]
-    z_q = vector_quantize(z, codebook, use_pallas=use_pallas)
+    z_q = vector_quantize(z, codebook, use_pallas=use_pallas, data_mesh=data_mesh)
     x = vqgan.apply(params, z_q, method=vqgan.decode_latent)
     return clamp_with_grad((x + 1.0) / 2.0, 0.0, 1.0)
 

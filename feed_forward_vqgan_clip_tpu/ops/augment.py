@@ -9,16 +9,19 @@ All warps share one primitive — `grid_sample` (bilinear, zeros/border padding)
 so affine / perspective / rotation / crops / elastic / thin-plate all lower to the
 same gather+lerp graph XLA fuses with the downstream CLIP-normalize.
 
-Parity notes per code (default train set is ('Af','Pe','Ji','Er'), main.py:165):
-  Af  RandomAffine(degrees 15, translate 0.1, p .7, border)        exact family
-  Pe  RandomPerspective(distortion_scale 0.7, p .7)                exact family
-  Ji  ColorJitter(hue .1, saturation .1, p .7)                      exact family
-  Er/Er2 RandomErasing(scale (.1,.4), ratio (.3,3.33), p .7)        exact family
+Parity notes per code (default train set is ('Af','Pe','Ji','Er'), main.py:165).
+"oracle-pinned" = fixed-draw output equality against vendored kornia-0.5.10
+math (tests/test_augment.py), not just the same transform family:
+  Af  RandomAffine(degrees 15, translate 0.1, p .7, border)   oracle-pinned
+  Pe  RandomPerspective(distortion_scale 0.7, p .7)           oracle-pinned
+  Ji  ColorJitter(hue .1, saturation .1, p .7)                oracle-pinned
+  Er/Er2 RandomErasing(scale (.1,.4), ratio (.3,3.33), p .7)  oracle-pinned
+  Et  ElasticTransform(p .7)       oracle-pinned (kornia 0.5.10 kernel)
+  Ts  ThinPlateSpline(.3, p .7)    oracle-pinned (incl. kornia's center quirk)
   Ji2 ColorJitter(brightness .1, contrast .1, sat .05, hue .05, p .5)
   Sh  RandomSharpness(.4, p .7)    Gn  GaussianNoise(std 1, p .5)
-  Ro  RandomRotation(15, p .7)     Et  ElasticTransform(p .7)       exact (kornia 0.5.10 kernel)
-  Ts  ThinPlateSpline(.3, p .7)    exact (kornia 0.5.10 TPS incl. its center quirk)
-  Cr/Re/Re2/Cc/R crops+resizes     exact family
+  Ro  RandomRotation(15, p .7)
+  Cr/Re/Re2/Cc/R crops+resizes     exact family (same transform + sampler)
 """
 
 import functools

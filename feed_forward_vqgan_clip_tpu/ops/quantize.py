@@ -34,10 +34,17 @@ def nearest_codebook_indices(x, codebook, *, precision=jax.lax.Precision.HIGHEST
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def vector_quantize(x, codebook, *, use_pallas="auto"):
+def vector_quantize(x, codebook, *, use_pallas="auto", data_mesh=None):
     """Quantize `x` (..., C) to its nearest codebook rows with a straight-through grad.
 
     Forward: codebook[argmin dist]. Backward: identity to `x` (reference main.py:138).
+
+    `data_mesh`: a Mesh with a 'data' axis > 1 routes the Pallas index search
+    through `jax.shard_map` over that axis (batch dim 0) — pallas_call has no
+    GSPMD partitioning rule, so left in a plain sharded jit every device would
+    search the gathered GLOBAL batch. The search is batch-parallel (codebook
+    replicated), so per-shard kernels reproduce the single-device indices
+    exactly. Ignored on the XLA path, which partitions natively.
     """
     # The index search is non-differentiable; detach it so autodiff never traces
     # through the search (in particular pallas_call has no JVP rule for nonzero
@@ -49,7 +56,22 @@ def vector_quantize(x, codebook, *, use_pallas="auto"):
             nearest_codebook_indices_pallas,
         )
 
-        idx = nearest_codebook_indices_pallas(xd, cbd)
+        if data_mesh is not None and int(dict(data_mesh.shape).get("data", 1)) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            # check_vma=False: pallas_call's out_shape carries no varying-axes
+            # tags, so the static checker rejects it; the search is
+            # structurally batch-parallel with a replicated codebook (same
+            # waiver as the warp/mapper shard_map stages in train/loop.py).
+            idx = jax.shard_map(
+                nearest_codebook_indices_pallas,
+                mesh=data_mesh,
+                in_specs=(P("data"), P()),
+                out_specs=P("data"),
+                check_vma=False,
+            )(xd, cbd)
+        else:
+            idx = nearest_codebook_indices_pallas(xd, cbd)
     else:
         idx = nearest_codebook_indices(xd, cbd)
     x_q = jnp.take(codebook, idx, axis=0).astype(x.dtype)

@@ -11,9 +11,13 @@ FFVC_BPE_PATH env var. Vocabulary construction follows the public CLIP scheme:
 256 byte tokens, 256 byte+'</w>' tokens, the first 48894 merges, and the two
 specials — 49408 entries total.
 
-Deviation (documented): the reference's cleaning pipeline runs ftfy.fix_text;
-ftfy is not available here, so cleaning is html-unescape + whitespace collapse +
-lowercase. This only differs on mojibake inputs.
+Cleaning parity: the reference's pipeline runs ftfy.fix_text before BPE; this
+tokenizer applies the vendored caption-relevant subset of it
+(tokenizer/text_fix.py: mojibake repair, C1 controls, width folding, quote
+uncurling, NFC) followed by html-unescape + whitespace collapse + lowercase.
+Remaining divergence (long-tail web text only): ftfy's lossy-sequence
+replacement, byte-A0 restoration and surrogate repair — see text_fix.py and
+PARITY.md.
 """
 
 import functools

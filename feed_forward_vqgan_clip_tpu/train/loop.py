@@ -143,12 +143,26 @@ def build_frozen(cfg: TrainConfig, dtype) -> FrozenModels:
 
 
 def _use_pallas_for(cfg, mesh):
-    """cfg's use_pallas, forced off on a multi-device mesh: the Pallas VQ
-    lookup has no GSPMD partitioning rule, and XLA's lookup partitions
-    natively (see make_train_step's data_par note)."""
-    if mesh is not None and int(dict(getattr(mesh, "shape", {})).get("data", 1)) > 1:
-        return False
-    return cfg.get("use_pallas")
+    """Resolve (use_pallas, vq_data_mesh) for synth's Pallas VQ lookup.
+
+    pallas_call has no GSPMD partitioning rule, so the multi-device story is
+    per-axis (matches the warp/mapper stages, make_train_step's data_par note):
+      * 'model' axis > 1 -> forced OFF. The kernel holds the whole codebook per
+        grid step and cannot compute on model shards; XLA's lookup partitions
+        the contraction natively.
+      * 'data' axis > 1 (pure DP) -> stays ON, run under shard_map over 'data'
+        (the search is batch-parallel with a replicated codebook) — the mesh is
+        returned for synth's data_mesh argument.
+      * single device -> cfg's use_pallas, no wrapping.
+    """
+    if mesh is None:
+        return cfg.get("use_pallas"), None
+    shape = dict(getattr(mesh, "shape", {}))
+    if int(shape.get("model", 1) or 1) > 1:
+        return False, None
+    if int(shape.get("data", 1) or 1) > 1:
+        return cfg.get("use_pallas"), mesh
+    return cfg.get("use_pallas"), None
 
 
 def make_train_step(
@@ -212,9 +226,9 @@ def make_train_step(
     # per-Horovod-rank torch RNG semantics (not bitwise the 1-chip draw).
     data_par = mesh is not None and int(dict(getattr(mesh, "shape", {})).get("data", 1)) > 1
     # the Pallas VQ lookup inside synth has the same GSPMD blind spot as the
-    # warps; on a multi-device mesh _use_pallas_for returns False (XLA's
-    # lookup partitions natively, ~1.6 ms slower at B=64)
-    use_pallas = _use_pallas_for(cfg, mesh)
+    # warps; under pure DP it stays on via shard_map over 'data' (vq_mesh),
+    # under TP it falls back to XLA (~1.6 ms slower at B=64)
+    use_pallas, vq_mesh = _use_pallas_for(cfg, mesh)
     if data_par and not tp_active:
         # same GSPMD blind spot as the warps: under pure DP, run the mapper
         # forward/backward per-shard (params replicated in, shard_map's
@@ -290,7 +304,7 @@ def make_train_step(
             z = mapper_train_apply(params, net_in)  # (repeat*bs, S, S, C)
         l2 = l2_loss(z) if l2_coef > 0 else jnp.float32(0.0)
         z = clamp_with_grad(z, z_lo, z_hi)
-        xr = synth(vq, fz["vq"], z, use_pallas=use_pallas)  # (repeat*bs, H, W, 3)
+        xr = synth(vq, fz["vq"], z, use_pallas=use_pallas, data_mesh=vq_mesh)  # (repeat*bs, H, W, 3)
         xr = xr.astype(jnp.float32)
 
         tv = tv_loss(xr) if tv_coef > 0 else jnp.float32(0.0)
@@ -339,14 +353,16 @@ def make_train_step(
 
 def make_render_fn(cfg: TrainConfig, mapper, frozen: FrozenModels, mesh=None):
     """images for previews: params, features(+noise) -> synth output (no cutouts)."""
-    use_pallas = _use_pallas_for(cfg, mesh)
+    use_pallas, vq_mesh = _use_pallas_for(cfg, mesh)
 
     @jax.jit
     def render(params, fz, net_in):
         z_lo, z_hi = latent_bounds(fz["vq"])
         z = mapper.apply(params, net_in)
         z = clamp_with_grad(z, z_lo, z_hi)
-        return synth(frozen.vq_module, fz["vq"], z, use_pallas=use_pallas).astype(jnp.float32)
+        return synth(
+            frozen.vq_module, fz["vq"], z, use_pallas=use_pallas, data_mesh=vq_mesh
+        ).astype(jnp.float32)
 
     return render
 
@@ -356,14 +372,16 @@ def make_eval_step(cfg: TrainConfig, mapper, frozen: FrozenModels, eval_p: Perce
     """In-train eval (main.py:866-896): no-cutout pass, bilinear resize to
     clip_size, CLIP score with the eval perceptor's logit scale."""
     clip_size = eval_p.size
-    use_pallas = _use_pallas_for(cfg, mesh)
+    use_pallas, vq_mesh = _use_pallas_for(cfg, mesh)
 
     @jax.jit
     def eval_step(params, fz, eval_fz, feats):
         z_lo, z_hi = latent_bounds(fz["vq"])
         z = mapper.apply(params, feats)
         z = clamp_with_grad(z, z_lo, z_hi)
-        xr = synth(frozen.vq_module, fz["vq"], z, use_pallas=use_pallas).astype(jnp.float32)
+        xr = synth(
+            frozen.vq_module, fz["vq"], z, use_pallas=use_pallas, data_mesh=vq_mesh
+        ).astype(jnp.float32)
         xr = jax.image.resize(
             xr, (xr.shape[0], clip_size, clip_size, 3), "bilinear"
         )

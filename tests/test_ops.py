@@ -112,6 +112,63 @@ class TestVectorQuantize:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+class TestVQMultiDevice:
+    """The multi-device VQ story (train/loop._use_pallas_for + the shard_map
+    route in vector_quantize): Pallas stays ON under pure DP (per-shard
+    kernels), falls back to XLA whenever the 'model' axis is sharded —
+    including the {'data': 1, 'model': 2} case where the old data-axis-only
+    gate kept an unpartitionable pallas_call enabled across 2 devices."""
+
+    def test_gate_per_axis(self):
+        from feed_forward_vqgan_clip_tpu.parallel import mesh as meshlib
+        from feed_forward_vqgan_clip_tpu.train.loop import _use_pallas_for
+
+        cfg = {"use_pallas": True}
+        devs = jax.devices()
+        dp = meshlib.make_mesh({"data": 8, "model": 1})
+        assert _use_pallas_for(cfg, dp) == (True, dp)
+        assert _use_pallas_for(cfg, meshlib.make_mesh({"data": 4, "model": 2})) == (
+            False, None,
+        )
+        # pure TP, data == 1: still multi-device, must fall back to XLA
+        tp = meshlib.make_mesh({"data": 1, "model": 2}, devices=devs[:2])
+        assert _use_pallas_for(cfg, tp) == (False, None)
+        single = meshlib.make_mesh({"data": 1, "model": 1}, devices=devs[:1])
+        assert _use_pallas_for(cfg, single) == (True, None)
+        assert _use_pallas_for(cfg, None) == (True, None)
+
+    def test_sharded_pallas_lookup_matches_single_device(self, rng, monkeypatch):
+        import functools
+
+        from feed_forward_vqgan_clip_tpu.ops.pallas import vq_lookup
+        from feed_forward_vqgan_clip_tpu.parallel import mesh as meshlib
+
+        calls = []
+        orig = vq_lookup.nearest_codebook_indices_pallas
+
+        def spy(x, cb):
+            calls.append(tuple(x.shape))
+            return orig(x, cb, interpret=True)  # CPU needs interpret mode
+
+        monkeypatch.setattr(vq_lookup, "nearest_codebook_indices_pallas", spy)
+        mesh = meshlib.make_mesh({"data": 8, "model": 1})
+        codebook = jnp.asarray(rng.normal(size=(96, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(16, 3, 3, 8)), jnp.float32)
+        got = vector_quantize(x, codebook, use_pallas=True, data_mesh=mesh)
+        ref = vector_quantize(x, codebook, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+        # the kernel saw the LOCAL shard (16/8 = 2 rows), not the global batch
+        assert calls and calls[0][0] == 2
+
+        # straight-through gradient is untouched by the shard_map route
+        g = jax.grad(
+            lambda v: jnp.sum(
+                vector_quantize(v, codebook, use_pallas=True, data_mesh=mesh) * 2.0
+            )
+        )(x)
+        np.testing.assert_allclose(np.asarray(g), np.full(x.shape, 2.0), atol=1e-6)
+
+
 class TestLosses:
     def test_spherical_dist_known_values(self):
         a = jnp.array([[1.0, 0.0]])

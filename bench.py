@@ -13,7 +13,11 @@ execution) and synced with a single scalar readback whose overhead is <1% of the
 chain. A slope variant of this harness measured 96% of v5e bf16 peak on a 4096^3
 matmul, validating the method.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Default output (FFVC_BENCH_MODE=all): THREE json metric lines — the infer
+headline {"metric", "value", "unit", "vs_baseline"}, the train-step line, and
+the batch-1 latency line — with the headline repeated as the final line so
+single-line parsers (first- or last-match) still resolve the north-star
+metric. FFVC_BENCH_MODE=infer|train|latency prints just that one line.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the A100 anchor
 is an analytic proxy:
@@ -57,7 +61,11 @@ A100_EAGER_UTIL_MID = 0.20  # mid-range measured eager utilization, reported alo
 REF_PIPELINE_FLOPS_PER_IMAGE = 433.0e9
 BATCH = int(os.environ.get("FFVC_BENCH_BATCH", 64))
 K_ITERS = 50  # one compiled scan; dispatch+readback overhead (~30ms) is <1% of wall
-MODE = os.environ.get("FFVC_BENCH_MODE", "infer")  # infer | train | latency
+# all (default): infer headline + train-step + batch-1-latency JSON lines in
+# ONE run, so every headline number lands in the driver's BENCH artifact
+# instead of builder-committed side files. infer|train|latency run just that
+# mode (the round-3 single-line contract).
+MODE = os.environ.get("FFVC_BENCH_MODE", "all")
 
 
 def main():
@@ -81,6 +89,41 @@ def main():
     rng = np.random.default_rng(0)
     if MODE == "latency":
         return latency_bench(jax, jnp, fn, tokens, mp, cp, vp, rng)
+    headline = infer_bench(jax, jnp, fn, tokens, mp, cp, vp, rng)
+    if MODE != "all":
+        return
+    # extras are best-effort: the headline line above is already out, and each
+    # failure is reported on stderr without killing the run
+    for name, run in (("train", train_bench), ("latency", _latency_for_all)):
+        try:
+            run()
+        except Exception as e:  # pragma: no cover - depends on live hardware
+            print(f"# {name} bench failed: {e!r}", file=sys.stderr)
+    # repeat the headline as the FINAL line: parsers that take the last (or
+    # first) JSON line both resolve to the north-star metric, while the tail
+    # still carries all three metric lines
+    print(headline)
+
+
+def _latency_for_all():
+    """latency leg of MODE=all: entry() re-resolves with the depth-streaming
+    mapper layout (the env var is read inside entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry
+
+    os.environ["FFVC_STREAM_MIXER"] = "1"
+    try:
+        fn, (tokens, mp, cp, vp) = entry()
+        latency_bench(jax, jnp, fn, tokens, mp, cp, vp, np.random.default_rng(0))
+    finally:
+        os.environ.pop("FFVC_STREAM_MIXER", None)
+
+
+def infer_bench(jax, jnp, fn, tokens, mp, cp, vp, rng):
+    """North-star throughput (batch 64, chained scan); prints the headline JSON
+    line and returns it (MODE=all re-prints it as the final line)."""
 
     def token_stack(k):
         t = np.tile(tokens[:1], (k, BATCH, 1))
@@ -119,17 +162,16 @@ def main():
     a100_proxy = A100_TF32_PEAK * A100_EAGER_UTIL / REF_PIPELINE_FLOPS_PER_IMAGE
     a100_proxy_mid = A100_TF32_PEAK * A100_EAGER_UTIL_MID / REF_PIPELINE_FLOPS_PER_IMAGE
 
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_per_chip_256px_prompt_to_image",
-                "value": round(imgs_per_sec, 2),
-                "unit": "img/s",
-                "vs_baseline": round(imgs_per_sec / a100_proxy, 3),
-                "vs_baseline_util20": round(imgs_per_sec / a100_proxy_mid, 3),
-            }
-        )
+    headline = json.dumps(
+        {
+            "metric": "images_per_sec_per_chip_256px_prompt_to_image",
+            "value": round(imgs_per_sec, 2),
+            "unit": "img/s",
+            "vs_baseline": round(imgs_per_sec / a100_proxy, 3),
+            "vs_baseline_util20": round(imgs_per_sec / a100_proxy_mid, 3),
+        }
     )
+    print(headline, flush=True)
     print(
         f"# batch={BATCH} chain={K_ITERS} iters wall={t_best*1e3:.0f}ms -> "
         f"{per_iter*1e3:.2f} ms/batch; live flops/img={live_flops_per_image/1e9:.1f}G "
@@ -139,6 +181,7 @@ def main():
         f"tpu_mxu_util={live_flops_per_image*imgs_per_sec/197e12:.1%} of v5e peak",
         file=sys.stderr,
     )
+    return headline
 
 
 def _once(chain, stack, mp, cp, vp, k):
@@ -177,7 +220,8 @@ def latency_bench(jax, jnp, fn, tokens, mp, cp, vp, rng):
                 "unit": "ms",
                 "vs_baseline": None,
             }
-        )
+        ),
+        flush=True,
     )
     print(f"# chained batch-1 device latency over {k} prompts", file=sys.stderr)
 
@@ -262,8 +306,10 @@ def train_bench():
                 "value": round(bs / dt, 2),
                 "unit": "img/s",
                 "vs_baseline": None,
+                "train_step_ms": round(dt * 1e3, 1),
             }
-        )
+        ),
+        flush=True,
     )
     print(
         f"# train step {dt*1e3:.1f} ms at batch={bs}, cutn=8, 224px cutouts, "

@@ -11,6 +11,7 @@ Parity with the reference's MakeCutouts (/root/reference/main.py:154-229):
 Stateless and jittable: call with an explicit PRNG key.
 """
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -18,6 +19,14 @@ import jax.numpy as jnp
 
 from feed_forward_vqgan_clip_tpu.ops.augment import build_augment_pipeline
 from feed_forward_vqgan_clip_tpu.ops.pooling import adaptive_avg_pool, adaptive_max_pool
+
+# Pointwise (non-resampling) augs: their backwards are elementwise chains whose
+# XLA autodiff saves several full-size intermediates (the HSV round trip alone
+# keeps ~6). FFVC_REMAT_COLOR=1 wraps them in jax.checkpoint so the backward
+# recomputes the cheap VPU chain instead of round-tripping activations through
+# HBM — a perf experiment knob (identical math; grads equal to rounding).
+_POINTWISE_CODES = {"Ji", "Ji2", "Er", "Er2", "Sh", "Gn"}
+_REMAT_COLOR = os.environ.get("FFVC_REMAT_COLOR", "0") not in ("", "0", "false")
 
 
 class MakeCutouts:
@@ -63,7 +72,12 @@ class MakeCutouts:
             codes = fused_codes
         str_codes = [c for c in codes if not callable(c)]
         built = iter(build_augment_pipeline(str_codes, cut_size))
-        self.augs = [c if callable(c) else next(built) for c in codes]
+        self.augs = []
+        for c in codes:
+            fn = c if callable(c) else next(built)
+            if _REMAT_COLOR and not callable(c) and c in _POINTWISE_CODES:
+                fn = jax.checkpoint(fn)
+            self.augs.append(fn)
 
     def __call__(self, key, x):
         """x: (B, H, W, 3) in [0,1] -> (cutn*B, h', w', 3)."""

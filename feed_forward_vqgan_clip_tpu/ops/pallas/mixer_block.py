@@ -39,7 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 # mm) is strictly serial, so the MXU idles through every VPU phase; two
 # independent chains in one kernel body give Mosaic's scheduler co-issuable
 # MXU/VPU work. Perf experiment — numerics identical (per-element math).
+# MEASURED WORSE at B=64 (79.6 vs 70.8 ms mapper stage): doubling every live
+# intermediate defeats Mosaic's own pipelining. Kept for A/B only.
 _PAIR = os.environ.get("FFVC_MIXER_PAIR", "0") not in ("", "0", "false")
+
+# FFVC_MIXER_PIPE: software-pipelined (skewed) inference kernel — grid step j
+# runs the CHANNEL half of element j-1 (residual carried in a 2-slot VMEM
+# scratch) interleaved with the TOKEN half of element j. Same co-issue goal as
+# pair mode, but the only extra live state is one (T, D) residual slot
+# (~0.5 MB) instead of a second copy of every intermediate. Numerics per
+# element are identical (same op order within each phase). Default resolved
+# by fused.py's dispatcher; env overrides for A/B.
+_PIPE_ENV = os.environ.get("FFVC_MIXER_PIPE", "")
 
 
 def _kernel_ln_hat(x, dtype):
@@ -49,6 +60,8 @@ def _kernel_ln_hat(x, dtype):
     per-call (D, Ec) multiply, repaid by removing a 2-op pass over every
     (T, D) activation element)."""
     xf = x.astype(jnp.float32)
+    if _DIAG_NOLN:
+        return xf.astype(dtype)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
@@ -64,6 +77,8 @@ def _kernel_layer_norm(x, scale, bias, dtype):
     bias directly — 4 per-element VPU ops instead of 5 plus two temporaries.
     Rounding order differs from the flax path at the ~1e-7-relative level."""
     xf = x.astype(jnp.float32)
+    if _DIAG_NOLN:
+        return (xf * scale + bias).astype(dtype)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
@@ -95,6 +110,14 @@ _ERF_POLY_U_BF16 = (
 )
 
 
+# Diagnostic-only knobs (benchmarks/: attribute the fused block's VPU residue;
+# NEVER set in production — they change the math):
+#   FFVC_DIAG_NOGELU=1  -> GELU becomes identity
+#   FFVC_DIAG_NOLN=1    -> kernel LNs skip the stats (scale/shift only)
+_DIAG_NOGELU = os.environ.get("FFVC_DIAG_NOGELU", "0") == "1"
+_DIAG_NOLN = os.environ.get("FFVC_DIAG_NOLN", "0") == "1"
+
+
 def _gelu_exact(x, dtype):
     """Exact (erf-form) GELU in f32. Mosaic has no erf/erfc lowering; the
     round-2 kernel used the A&S 7.1.26 rational-exponential approximation,
@@ -111,6 +134,8 @@ def _gelu_exact(x, dtype):
     f32 — the caller keeps the matmul's f32 accumulator alive through
     bias+GELU and casts to the compute dtype ONCE afterwards (two casts per
     activation tensor saved vs round-2)."""
+    if _DIAG_NOGELU:
+        return x.astype(jnp.float32)
     coef = _ERF_POLY_U_BF16 if dtype == jnp.bfloat16 else _ERF_POLY_U
     xf = x.astype(jnp.float32)
     ax = jnp.abs(xf)
@@ -225,14 +250,30 @@ def _block_kernel(
         out_ref[0] = _block_math(x_ref[0], *consts, dtype)
 
 
+# Default ON at batch >= 16 (measured: 70.76 -> 65.82 ms mapper stage at B=64;
+# the two boundary steps cost 2/(B+1), so small batches keep the plain kernel
+# — and batch <= 8 serving routes to the depth-streaming kernel anyway).
+_PIPE_DEFAULT_MIN_BATCH = 16
+
+
+def _pipe_enabled(b):
+    if _PIPE_ENV in ("1", "true"):
+        return b >= 2
+    if _PIPE_ENV in ("0", "false"):
+        return False
+    return b >= _PIPE_DEFAULT_MIN_BATCH
+
+
 def fused_mixer_block(x, p, *, dtype=jnp.float32, interpret=False):
     """One full mixer block, fused. x: (B, T, D); p: the MixerBlock param dict
     ({token_norm, token_fc1[_bias], token_fc2[_bias], channel_norm,
     channel_fc1, channel_fc2}) exactly as produced by mixer.MixerBlock.init.
 
-    FFVC_MIXER_PAIR resolves here (outside jit) so toggling it is never masked
-    by a stale jit cache entry."""
+    FFVC_MIXER_PAIR / FFVC_MIXER_PIPE resolve here (outside jit) so toggling
+    them is never masked by a stale jit cache entry."""
     pe = 2 if (_PAIR and x.shape[0] % 2 == 0) else 1
+    if pe == 1 and _pipe_enabled(x.shape[0]):
+        return _fused_mixer_block_pipe_impl(x, p, dtype=dtype, interpret=interpret)
     return _fused_mixer_block_impl(x, p, pe=pe, dtype=dtype, interpret=interpret)
 
 
@@ -296,6 +337,127 @@ def _fused_mixer_block_impl(x, p, *, pe, dtype, interpret):
         # weight-resident blocks need ~20 MB scoped VMEM at flagship size; the
         # default 16 MB limit compiles at batch 64 but OOMs the batch-1
         # (latency/serving) pipeline
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _pipe_kernel(
+    x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
+    w1f_ref, b1f_ref, w2_ref, b2_ref, out_ref, r_scr, *, dtype, nb,
+):
+    """Skewed block body: channel phase of element j-1 + token phase of
+    element j, fine-interleaved so every big MXU matmul has independent VPU
+    work (the other phase's LN/GELU) adjacent in program order. Boundary
+    steps do throwaway work instead of predicated skips (grid is nb+1): step
+    0's channel phase chews a zeroed residual and its out write is
+    overwritten at step 1 (same out block index, so it never even reaches
+    HBM); step nb's token phase recomputes element nb-1 into an unread
+    scratch slot. That costs 2/(nb+1) extra steps but keeps ONE unpredicated
+    instruction stream for the scheduler."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():  # step 0's channel phase reads slot -1 % 2 = 1
+        r_scr[1] = jnp.zeros_like(r_scr[1])
+
+    dg = functools.partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
+    tok = (((0,), (0,)), ((), ()))
+    ch1 = (((1,), (0,)), ((), ()))
+    ln1s, ln1b, t1, t1b, t2, t2b = (
+        ln1s_ref[:], ln1b_ref[:], t1_ref[:], t1b_ref[:], t2_ref[:], t2b_ref[:]
+    )
+    b1f, b2 = b1f_ref[:], b2_ref[:]
+    # channel FF split into two Ec-halves: the half-GELUs (the longest VPU
+    # ops) each sit next to the OTHER half's big matmul in program order, so
+    # the g3 -> h4 dependency never leaves the MXU with only the small token
+    # matmul to chew on. (Chunking measured NEUTRAL in the unskewed kernel —
+    # round 2 — but in the skewed stream it is what fills the g3 window.)
+    ec = b1f.shape[-1]
+    half = ec // 2
+    w1a, w1b = w1f_ref[:, :half], w1f_ref[:, half:]
+    w2a, w2b = w2_ref[:half], w2_ref[half:]
+
+    x = x_ref[0]
+    r_prev = r_scr[(j - 1) % 2]
+    rhat = _kernel_ln_hat(r_prev, dtype)                   # VPU
+    h3a = dg(rhat, w1a, ch1)                               # MXU (half)
+    xn = _kernel_layer_norm(x, ln1s, ln1b, dtype)          # VPU — under h3a
+    h3b = dg(rhat, w1b, ch1)                               # MXU (half)
+    g3a = _gelu_exact(h3a + b1f[:, :half], dtype).astype(dtype)  # VPU — under h3b
+    h4a = dg(g3a, w2a, ch1)                                # MXU (half)
+    g3b = _gelu_exact(h3b + b1f[:, half:], dtype).astype(dtype)  # VPU — under h4a
+    h1 = dg(t1, xn, tok)                                   # MXU
+    h4b = dg(g3b, w2b, ch1)                                # MXU (half)
+    g1 = _gelu_exact(h1 + t1b, dtype).astype(dtype)        # VPU — under h4b
+    out_ref[0] = r_prev + (h4a + h4b + b2).astype(dtype)   # VPU
+    h2 = dg(t2, g1, tok)                                   # MXU
+    r_scr[j % 2] = x.astype(dtype) + (h2 + t2b).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _fused_mixer_block_pipe_impl(x, p, *, dtype, interpret):
+    b, t, d = x.shape
+    t1 = p["token_fc1"].astype(dtype)
+    t2 = p["token_fc2"].astype(dtype)
+    et = t1.shape[1]
+    w1_f32 = p["channel_fc1"]["kernel"].astype(jnp.float32)
+    w2 = p["channel_fc2"]["kernel"].astype(dtype)
+    ec = w1_f32.shape[1]
+    s2 = p["channel_norm"]["scale"].astype(jnp.float32)
+    b2ln = p["channel_norm"]["bias"].astype(jnp.float32)
+    w1f = (w1_f32 * s2[:, None]).astype(dtype)
+    b1f = p["channel_fc1"]["bias"].astype(jnp.float32) + b2ln @ w1_f32
+
+    const = lambda j: (0, 0)
+    args = (
+        x.astype(dtype),
+        p["token_norm"]["scale"].reshape(1, d).astype(jnp.float32),
+        p["token_norm"]["bias"].reshape(1, d).astype(jnp.float32),
+        t1,
+        p["token_fc1_bias"].reshape(et, 1).astype(jnp.float32),
+        t2,
+        p["token_fc2_bias"].reshape(t, 1).astype(jnp.float32),
+        w1f,
+        b1f.reshape(1, ec),
+        w2,
+        p["channel_fc2"]["bias"].reshape(1, d).astype(jnp.float32),
+    )
+    in_specs = [
+        # skewed: token input j (clamped at the top), channel output j-1
+        pl.BlockSpec(
+            (1, t, d), lambda j: (jnp.minimum(j, b - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, et), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((et, 1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((et, t), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, 1), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ec), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+    ]
+    flops = 2 * t * d * (2 * et + 2 * ec)
+    itemsize = jnp.dtype(dtype).itemsize
+    return pl.pallas_call(
+        functools.partial(_pipe_kernel, dtype=dtype, nb=b),
+        grid=(b + 1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, t, d), lambda j: (jnp.maximum(j - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
+        scratch_shapes=[pltpu.VMEM((2, t, d), dtype)],  # r carry
+        cost_estimate=pl.CostEstimate(
+            flops=(b + 1) * flops,
+            bytes_accessed=(2 * b * t * d + t * et + et * t + d * ec + ec * d)
+            * itemsize,
+            transcendentals=(b + 1) * (t * ec + et * d),
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)

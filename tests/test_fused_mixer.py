@@ -157,6 +157,40 @@ def _assert_grads_close(gp_got, gx_got, gp_ref, gx_ref, rel=1e-2):
 
 
 @pytest.mark.slow
+def test_pipe_mode_matches_plain_kernel(monkeypatch):
+    """FFVC_MIXER_PIPE (skewed kernel: channel phase of element j-1 + token
+    phase of element j per grid step, channel FF in two Ec-halves) preserves
+    per-element op order except that h4 is the SUM of two half-dots — an f32
+    accumulation-order change only, so outputs match the plain kernel to f32
+    rounding. Default dispatch: ON at batch >= 16, off below, env-forcible."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas import mixer_block as mb
+    from feed_forward_vqgan_clip_tpu.ops.pallas.mixer_block import fused_mixer_block
+
+    mapper, params, _ = _mk(jnp.float32)
+    p = params["params"]["block_0"]
+    h = jax.random.normal(jax.random.PRNGKey(2), (5, 256, 128), jnp.float32)
+    plain = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
+    plain16 = np.asarray(
+        fused_mixer_block(h, p, dtype=jnp.bfloat16, interpret=True), np.float32
+    )
+    monkeypatch.setattr(mb, "_PIPE_ENV", "1")
+    piped = fused_mixer_block(h, p, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(piped), np.asarray(plain), rtol=1e-5, atol=1e-5
+    )
+    piped16 = np.asarray(
+        fused_mixer_block(h, p, dtype=jnp.bfloat16, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(piped16, plain16, rtol=2e-2, atol=2e-2)
+    # batch-1 falls back to the plain kernel (no second element to skew with)
+    one = fused_mixer_block(h[:1], p, dtype=jnp.float32, interpret=True)
+    assert np.array_equal(np.asarray(one), np.asarray(plain[:1]))
+    # default gating: off below the min batch, on at/above it
+    monkeypatch.setattr(mb, "_PIPE_ENV", "")
+    assert not mb._pipe_enabled(8)
+    assert mb._pipe_enabled(16)
+
+
 class TestTrainGrads:
     """Pallas fused-block backward (custom_vjp) vs XLA autodiff of the module
     path: input grad + every param grad, interpret mode on CPU."""

@@ -255,8 +255,11 @@ def train_bench():
         jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 256))), None, None, None)
     mapper = build_mapper(dict(cfg), vq_channels=256, dtype=dtype)
     params = jax.jit(mapper.init)(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
-    # FFVC_BENCH_OPT_DTYPE=bfloat16 measures the opt-in bf16 Adam-moment path
-    tx = make_optimizer(1e-3, opt_dtype=os.environ.get("FFVC_BENCH_OPT_DTYPE"))
+    # bf16 Adam moments are the shipping default (config.py opt_dtype);
+    # FFVC_BENCH_OPT_DTYPE=float32 measures the reference-f32 moment path
+    tx = make_optimizer(
+        1e-3, opt_dtype=os.environ.get("FFVC_BENCH_OPT_DTYPE", "bfloat16")
+    )
     state = make_train_state(params, tx)
     mc = MakeCutouts(cut_size=224, cutn=8, pool_size=224, fuse_geometric=fuse)
     step_fn, _ = L.make_train_step(

@@ -34,7 +34,7 @@ STEPS = int(os.environ.get("FFVC_EQ_STEPS", 300))
 BATCH = int(os.environ.get("FFVC_EQ_BATCH", 8))
 
 
-def run(aug_dtype: str):
+def run(aug_dtype: str, opt_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +58,7 @@ def run(aug_dtype: str):
     frozen = L.FrozenModels(perceptor, vq, None, None, None, None)
     mapper = build_mapper(dict(cfg), vq_channels=256, dtype=dtype)
     params = jax.jit(mapper.init)(jax.random.PRNGKey(1), jnp.zeros((1, 512)))
-    tx = make_optimizer(3e-4)
+    tx = make_optimizer(3e-4, opt_dtype=opt_dtype)
     state = make_train_state(params, tx)
     mc = MakeCutouts(cut_size=224, cutn=8, pool_size=224)
     step_fn, loss_fn = L.make_train_step(
@@ -125,6 +125,7 @@ def run(aug_dtype: str):
                          for i in range(nb)])
     out = {
         "aug_dtype": aug_dtype,
+        "opt_dtype": opt_dtype or "float32",
         "steps": STEPS,
         "loss_first10": round(float(np.mean(losses[:10])), 4),
         "loss_mid10": round(float(np.mean(losses[STEPS // 2 - 5: STEPS // 2 + 5])), 4),
@@ -137,20 +138,26 @@ def run(aug_dtype: str):
     return out, losses
 
 
-def main():
-    a, la = run("bfloat16")
-    b, lb = run("float32")
+def _compare(name, a, la, b, lb):
     la, lb = np.asarray(la), np.asarray(lb)
-    # smoothed trajectory gap relative to the f32 run's loss scale
+    # smoothed trajectory gap relative to the reference run's loss scale
     k = 20
     sa = np.convolve(la, np.ones(k) / k, "valid")
     sb = np.convolve(lb, np.ones(k) / k, "valid")
     print(json.dumps({
-        "comparison": "bf16_vs_f32_aug",
+        "comparison": name,
         "max_smoothed_loss_gap": round(float(np.max(np.abs(sa - sb))), 4),
         "final_loss_gap": round(a["loss_last10"] - b["loss_last10"], 4),
         "eval_dists_gap": round(a["eval_dists_mean"] - b["eval_dists_mean"], 4),
     }), flush=True)
+
+
+def main():
+    a, la = run("bfloat16")            # the shipping default
+    b, lb = run("float32")             # reference-f32 aug math
+    c, lc = run("bfloat16", "bfloat16")  # + bf16 Adam moments
+    _compare("bf16_vs_f32_aug", a, la, b, lb)
+    _compare("bf16opt_vs_f32opt", c, lc, a, la)
 
 
 if __name__ == "__main__":

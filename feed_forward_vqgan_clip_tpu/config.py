@@ -75,10 +75,15 @@ DEFAULTS: Dict[str, Any] = {
     # exact default chain faster than this path was, see BENCH_NOTES.md)
     "vqgan_arch": None,  # inline ddconfig-style dict (smoke configs)
     "compute_dtype": "bfloat16",
-    "opt_dtype": None,  # Adam moment storage: None/"float32" = reference-f32;
-    # "bfloat16" halves optimizer HBM footprint + per-step traffic (f32 math,
-    # bf16-stored mu AND nu — train/state._scale_by_adam_cast_state). Opt-in
-    # deviation from the reference's torch.Adam numerics.
+    "opt_dtype": "bfloat16",  # Adam moment storage. Default bf16: halves
+    # optimizer HBM footprint + per-step traffic (f32 math, bf16-stored mu AND
+    # nu — train/state._scale_by_adam_cast_state); measured -4 ms/step at the
+    # flagship geometry and training-equivalent to f32 moments over 300
+    # same-seed steps (final loss gap 0.0006, eval dists within noise —
+    # benchmarks/aug_dtype_equivalence.py, BENCH_NOTES.md round 4).
+    # "float32" restores the reference's torch.Adam moment numerics — also
+    # required to RESUME optimizer state saved by a float32-moment run (the
+    # two chains serialize different opt-state structures).
     "aug_dtype": None,  # cutout/augment stage dtype: None = follow compute_dtype
     # (bf16 warps run the single-pass Pallas kernels — 3x fewer MXU passes);
     # "float32" restores the f32 aug math whatever compute_dtype says

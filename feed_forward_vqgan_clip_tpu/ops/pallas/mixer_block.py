@@ -465,11 +465,13 @@ def _fused_mixer_block_pipe_impl(x, p, *, dtype, interpret):
 
 def fused_block_vmem_bytes(t, d, et, ec, dtype=jnp.bfloat16):
     """Rough VMEM footprint of one grid step (weights + x + intermediates),
-    used by the dispatch gate in models/mappers/fused.py."""
+    used by the dispatch gate in models/mappers/fused.py. Includes the pipe
+    variant's 2-slot residual scratch (2*t*d) so the gate covers whichever
+    kernel dispatch picks."""
     w = jnp.dtype(dtype).itemsize
     weights = (t * et + et * t + d * ec + ec * d) * w
     acts = (3 * t * d + et * d + t * ec) * max(w, 2) + (t * d + et * d + t * ec) * 4
-    return weights + 2 * t * d * w + acts
+    return weights + 2 * t * d * w + acts + 2 * t * d * w
 
 
 # ---------------------------------------------------------------------------

@@ -53,8 +53,10 @@ def _scale_by_adam_cast_state(
     HBM footprint and per-step read+write traffic (the flagship 290M-param
     mapper carries 2.3 GB of moments, touched twice per step). bf16 keeps f32's
     exponent range, so nu (grad^2) cannot overflow; the cost is ~2^-8 relative
-    rounding on the moment ACCUMULATION, an explicitly opt-in deviation from
-    the reference's f32 torch.Adam (main.py:591). Update rule, bias correction,
+    rounding on the moment ACCUMULATION — the DEFAULT since round 4 (measured
+    training-equivalent to f32 moments over 300 same-seed flagship steps,
+    benchmarks/aug_dtype_equivalence.py; opt_dtype: float32 restores the
+    reference's f32 torch.Adam, main.py:591). Update rule, bias correction,
     and the count increment match optax.scale_by_adam(eps_root=0) exactly."""
     sd = jnp.dtype(state_dtype)
 

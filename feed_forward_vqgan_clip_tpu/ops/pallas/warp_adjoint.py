@@ -170,7 +170,7 @@ def adjoint_plan(m, in_hw, out_hw, tile, cand, align=8):
 
 
 def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
-            c, h, w, ck, border, align, bf16):
+            c, h, w, ck, border, align, bf16, unroll2):
     b = pl.program_id(0)
     ty = pl.program_id(1)
     nty = pl.num_programs(1)
@@ -197,13 +197,11 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
 
     dma.wait()
 
-    # fori_loop, NOT a Python unroll: Mosaic stack-allocates every unrolled
-    # iteration's intermediates simultaneously (measured 122 MB at train
-    # shapes); the loop keeps one chunk's buffers live. The hats hy/hx are
-    # channel-independent, so they are built ONCE per chunk and reused by all
-    # c channel contractions (hx is the big (CK*Wo, W) factor — building it
-    # per channel tripled the VPU cost of the whole kernel).
-    def body(k, accs):
+    # The hats hy/hx are channel-independent, so they are built ONCE per chunk
+    # and reused by all c channel contractions (hx is the big (CK*Wo, W)
+    # factor — building it per channel tripled the VPU cost of the whole
+    # kernel).
+    def chunk_hats(k):
         row0 = oy + k * ck
         qyf = (
             jax.lax.broadcasted_iota(jnp.int32, (ck, wo), 0).astype(jnp.float32)
@@ -221,9 +219,13 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
 
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[:, :, None] - py))  # (CK, Wo, T)
         hx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - px))  # (CK, Wo, W)
+        return hy, hx
 
-        q = ck * wo
-        dims = (((0,), (0,)), ((), ()))
+    q = ck * wo
+    dims = (((0,), (0,)), ((), ()))
+
+    def chunk_updates(k, hy, hx):
+        """Per-channel (t, w) contraction contributions of one chunk."""
         out = []
         if bf16:
             # native single-pass bf16 dot (f32 accumulation) — the window is
@@ -232,27 +234,52 @@ def _kernel(origins_ref, mats_ref, g_ref, out_ref, win_ref, sem, *, tile, cand,
             for cc in range(c):
                 gc = win_ref[cc, pl.ds(k * ck, ck), :].astype(jnp.float32)
                 hyg = (hy * gc.reshape(ck, wo, 1)).reshape(q, t)
-                out.append(accs[cc] + jax.lax.dot_general(
+                out.append(jax.lax.dot_general(
                     hyg.astype(jnp.bfloat16), hxb, dims,
                     preferred_element_type=jnp.float32,
                 ))
-            return tuple(out)
+            return out
         # the hx factor is channel-independent: bf16x3-split it ONCE per chunk
         # (the per-channel _mxu_dot used to re-split it 3x)
         hx3 = _bf16_split(hx.reshape(q, w))
         for cc in range(c):
             gc = win_ref[cc, pl.ds(k * ck, ck), :].astype(jnp.float32)
             hyg = hy * gc.reshape(ck, wo, 1)
-            out.append(accs[cc] + _mxu_dot_split(
-                _bf16_split(hyg.reshape(q, t)),
-                hx3,
-                (((0,), (0,)), ((), ())),
-            ))
-        return tuple(out)
+            out.append(_mxu_dot_split(_bf16_split(hyg.reshape(q, t)), hx3, dims))
+        return out
 
-    accs = jax.lax.fori_loop(
-        0, cand // ck, body, tuple(jnp.zeros((t, w), jnp.float32) for _ in range(c))
-    )
+    # Chunk loop. fori_loop, NOT a full Python unroll: Mosaic stack-allocates
+    # every unrolled iteration's intermediates simultaneously (measured 122 MB
+    # at train shapes). unroll2 processes TWO chunks per iteration with chunk
+    # B's hat build placed in program order between chunk A's dots and chunk
+    # B's dots — the VPU hat work then co-issues under the MXU contractions
+    # (same scheduling move as the skewed mixer kernel; the single-chunk body
+    # serialized hats -> dots -> hats at ~41% MXU util). Two chunks' hats live
+    # at once; callers pick ck so the doubled footprint stays in budget.
+    if unroll2:
+        def body2(i, accs):
+            ka = 2 * i
+            hy_a, hx_a = chunk_hats(ka)                    # VPU
+            upd_a = chunk_updates(ka, hy_a, hx_a)          # MXU (+ fold VPU)
+            hy_b, hx_b = chunk_hats(ka + 1)                # VPU — under A dots
+            upd_b = chunk_updates(ka + 1, hy_b, hx_b)      # MXU
+            return tuple(
+                acc + ua + ub for acc, ua, ub in zip(accs, upd_a, upd_b)
+            )
+
+        accs = jax.lax.fori_loop(
+            0, cand // (2 * ck), body2,
+            tuple(jnp.zeros((t, w), jnp.float32) for _ in range(c)),
+        )
+    else:
+        def body(k, accs):
+            hy, hx = chunk_hats(k)
+            return tuple(a + u for a, u in zip(accs, chunk_updates(k, hy, hx)))
+
+        accs = jax.lax.fori_loop(
+            0, cand // ck, body,
+            tuple(jnp.zeros((t, w), jnp.float32) for _ in range(c)),
+        )
     for cc in range(c):
         out_ref[0, cc] = accs[cc].astype(out_ref.dtype)
 
@@ -283,8 +310,20 @@ def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, border=False,
     assert not border or cand >= ho, (border, cand, ho)
     nty = h // t
     if ck is None:
-        ck = 32 if cand % 32 == 0 else (16 if cand % 16 == 0 else 8)
+        # prefer a ck with an EVEN chunk count so the 2-unrolled loop applies
+        # (chunk B's hats co-issue under chunk A's dots); two half-size chunks
+        # hold the same hat VMEM as one full-size one
+        for cand_ck in (32, 16, 8):
+            if cand % (2 * cand_ck) == 0:
+                ck = cand_ck
+                break
+        else:
+            ck = 32 if cand % 32 == 0 else (16 if cand % 16 == 0 else 8)
     assert cand % ck == 0, (cand, ck)
+    # FFVC_ADJ_UNROLL=0 disables the 2-chunk unroll (diagnostic A/B)
+    unroll2 = cand % (2 * ck) == 0 and os.environ.get(
+        "FFVC_ADJ_UNROLL", "1"
+    ) not in ("0", "false")
     mats = m.astype(jnp.float32).reshape(b, 9)
     gt = jnp.transpose(g.astype(dt), (0, 3, 1, 2))  # (B, C, Ho, Wo)
     # Mosaic DMA slices must be 128-aligned on the lane dim even when taking
@@ -309,7 +348,8 @@ def warp_adjoint(g, m, origins, *, in_hw, tile=32, cand=224, border=False,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, tile=t, cand=cand, c=c, h=h, w=w, ck=ck,
-                          border=border, align=align, bf16=bf16),
+                          border=border, align=align, bf16=bf16,
+                          unroll2=unroll2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), dt),
         compiler_params=pltpu.CompilerParams(
@@ -343,20 +383,27 @@ def pick_tile(h, w, ow, c, cand, budget_bytes=48 * 1024 * 1024):
     """Largest 8-multiple divisor of the input height whose kernel VMEM
     footprint fits the budget (the contraction's M dim is the band height:
     small bands under-occupy MXU rows and rebuild hx cand/tile times — see
-    module docstring). Returns (tile, ck) or (None, None)."""
+    module docstring). Prefers a ck giving an EVEN chunk count, which enables
+    the kernel's 2-unrolled chunk loop (chunk B's hat build co-issues under
+    chunk A's dots); both live chunks are counted in the estimate. Returns
+    (tile, ck) or (None, None)."""
     if h % 8 != 0:
         return None, None
     for t in range(h, 7, -8):
         if h % t:
             continue
-        for ck in (32, 16, 8):
-            if cand % ck:
-                continue
+        # even-chunk candidates first (the kernel unrolls 2 chunks/iteration)
+        cks = [k for k in (32, 16, 8) if cand % (2 * k) == 0]
+        cks += [k for k in (32, 16, 8) if cand % k == 0 and k not in cks]
+        for ck in cks:
+            live_chunks = 2 if cand % (2 * ck) == 0 else 1
             est = 4 * (
                 c * cand * _rnd128(ow)        # g row window (scratch)
                 + 2 * c * t * _rnd128(w)      # fori accs + out block
-                + ck * ow * _rnd128(t)        # hy
-                + 2 * ck * ow * _rnd128(w)    # hx + per-channel hyg
+                + live_chunks * (
+                    ck * ow * _rnd128(t)      # hy
+                    + 2 * ck * ow * _rnd128(w)  # hx + per-channel hyg
+                )
             )
             if est <= budget_bytes:
                 return t, ck

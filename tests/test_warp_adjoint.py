@@ -162,12 +162,19 @@ def test_pick_tile_properties():
 
     t, ck = pick_tile(224, 224, 224, 3, 224)
     assert t == 224 and 224 % ck == 0
+    # even chunk count preferred so the kernel's 2-unrolled loop applies
+    assert (224 // ck) % 2 == 0
     t, ck = pick_tile(72, 88, 88, 3, 72)
     assert t == 72 and 72 % ck == 0
     # non-8-multiple height is rejected
     assert pick_tile(225, 224, 224, 3, 224) == (None, None)
-    # a tiny budget forces smaller bands but still returns a divisor
-    t, ck = pick_tile(224, 224, 224, 3, 224, budget_bytes=6 * 1024 * 1024)
+    # a tiny budget forces smaller bands but still returns a divisor (12 MB:
+    # the 2-unrolled kernel keeps two chunks' hats live, raising the floor —
+    # 6 MB now legitimately returns None -> XLA fallback)
+    assert pick_tile(224, 224, 224, 3, 224, budget_bytes=6 * 1024 * 1024) == (
+        None, None,
+    )
+    t, ck = pick_tile(224, 224, 224, 3, 224, budget_bytes=12 * 1024 * 1024)
     assert t is not None and 224 % t == 0 and t < 224
 
 

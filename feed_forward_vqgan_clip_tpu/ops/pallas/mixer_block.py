@@ -773,6 +773,57 @@ def _block_res_kernel(
     out_ref[0] = r + (h4 + b2_ref[:]).astype(dtype)
 
 
+def _block_res_pipe_kernel(
+    x_ref, ln1s_ref, ln1b_ref, t1_ref, t1b_ref, t2_ref, t2b_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    out_ref, g1_ref, dg1_ref, rhat_ref, inv2_ref, g3_ref, dg3_ref, r_scr,
+    *, dtype, nb,
+):
+    """Skewed _block_res_kernel (same move as _pipe_kernel): step j runs the
+    CHANNEL phase of element j-1 (residual carried in the 2-slot scratch)
+    interleaved with the TOKEN phase of element j. Per-element op order is
+    unchanged, so every output is bit-identical to _block_res_kernel; only
+    the cross-element schedule differs. Boundary steps (grid nb+1): step 0's
+    channel outputs are garbage into block 0 and overwritten at step 1
+    before any HBM writeback (same block index); step nb's token phase
+    recomputes element nb-1 into the same blocks with identical values."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():  # step 0's channel phase chews a zeroed residual
+        r_scr[1] = jnp.zeros_like(r_scr[1])
+
+    dg = functools.partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
+    tok = (((0,), (0,)), ((), ()))
+    ch1 = (((1,), (0,)), ((), ()))
+
+    x = x_ref[0]
+    r_prev = r_scr[(j - 1) % 2]
+    rf = r_prev.astype(jnp.float32)
+    mean = jnp.mean(rf, axis=-1, keepdims=True)
+    var = jnp.mean(rf * rf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    rhat = rf * inv - mean * inv
+    rhat_ref[0] = rhat.astype(dtype)
+    inv2_ref[0] = inv
+    rn = (rhat * ln2s_ref[:] + ln2b_ref[:]).astype(dtype)
+    h3 = dg(rn, w1_ref[:], ch1)                                # MXU (big)
+    xn = _kernel_layer_norm(x, ln1s_ref[:], ln1b_ref[:], dtype)  # VPU — under h3
+    g3f, dgelu3 = _gelu_val_grad(h3 + b1_ref[:], dtype)        # VPU
+    h1 = dg(t1_ref[:], xn, tok)                                # MXU — under g3
+    g3 = g3f.astype(dtype)
+    g3_ref[0] = g3
+    dg3_ref[0] = dgelu3.astype(dtype)
+    h4 = dg(g3, w2_ref[:], ch1)                                # MXU (big)
+    g1f, dgelu1 = _gelu_val_grad(h1 + t1b_ref[:], dtype)       # VPU — under h4
+    g1 = g1f.astype(dtype)
+    g1_ref[0] = g1
+    dg1_ref[0] = dgelu1.astype(dtype)
+    out_ref[0] = r_prev + (h4 + b2_ref[:]).astype(dtype)       # VPU
+    h2 = dg(t2_ref[:], g1, tok)                                # MXU
+    r_scr[j % 2] = x.astype(dtype) + (h2 + t2b_ref[:]).astype(dtype)
+
+
 def _ln_stats(xf):
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
@@ -959,6 +1010,62 @@ def _fwd_res(x, p, dtype, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _fwd_res_pipe(x, p, dtype, interpret):
+    """Skewed residual-emitting forward (see _block_res_pipe_kernel)."""
+    args, in_specs, (b, t, d, et, ec) = _block_args(x, p, dtype)
+    # skew: token input / token outputs track element j (clamped at the top);
+    # channel outputs track element j-1 (clamped at the bottom)
+    tok_i = lambda j: (jnp.minimum(j, b - 1), 0, 0)
+    ch_i = lambda j: (jnp.maximum(j - 1, 0), 0, 0)
+    in_specs[0] = pl.BlockSpec((1, t, d), tok_i, memory_space=pltpu.VMEM)
+    out, g1, dg1, rhat, inv2, g3, dg3 = pl.pallas_call(
+        functools.partial(_block_res_pipe_kernel, dtype=dtype, nb=b),
+        grid=(b + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, t, d), ch_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, et, d), tok_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, et, d), tok_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), ch_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), ch_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, ec), ch_i, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, ec), ch_i, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, d), dtype),
+            jax.ShapeDtypeStruct((b, et, d), dtype),
+            jax.ShapeDtypeStruct((b, et, d), dtype),
+            jax.ShapeDtypeStruct((b, t, d), dtype),
+            jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, ec), dtype),
+            jax.ShapeDtypeStruct((b, t, ec), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, t, d), dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return out, g1, dg1, rhat, inv2, g3, dg3
+
+
+# FFVC_FUSED_TRAIN_PIPE: route the train forward through the skewed kernel.
+# Measured on v5e (benchmarks/train_fwd_pipe_timing.py, 32-block fwd+bwd,
+# flagship T=256/D=1024): B=8 73.1->71.3 ms, B=32 142.9->139.4, B=64
+# 242.7->232.4 — a consistent 2.4-4.2% step win (~10% of the forward it
+# touches), so default ON wherever a second element exists to skew with.
+_TRAIN_PIPE_ENV = os.environ.get("FFVC_FUSED_TRAIN_PIPE", "")
+_TRAIN_PIPE_DEFAULT = True
+_TRAIN_PIPE_MIN_BATCH = 2
+
+
+def _train_pipe_enabled(b):
+    if _TRAIN_PIPE_ENV in ("1", "true"):
+        return b >= 2
+    if _TRAIN_PIPE_ENV in ("0", "false"):
+        return False
+    return _TRAIN_PIPE_DEFAULT and b >= _TRAIN_PIPE_MIN_BATCH
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
 def _channel_bwd(dout, rhat, inv2, g3, dgelu3, p, dtype, interpret):
     b, t, d = dout.shape
     ec = g3.shape[-1]
@@ -1073,12 +1180,18 @@ def fused_mixer_block_train(x, p, dtype=jnp.float32, interpret=False):
     adjoint of the kernel math — consistent with the fused forward and within
     f32-accumulation rounding of the XLA module path's autodiff (pinned by
     tests/test_fused_mixer.py::TestTrainGrads)."""
-    out, _, _, _, _, _, _ = _fwd_res(x, p, dtype, interpret)
+    out, _, _, _, _, _, _ = _fwd_res_dispatch(x, p, dtype, interpret)
     return out
 
 
+def _fwd_res_dispatch(x, p, dtype, interpret):
+    if _train_pipe_enabled(x.shape[0]):
+        return _fwd_res_pipe(x, p, dtype, interpret)
+    return _fwd_res(x, p, dtype, interpret)
+
+
 def _fused_train_fwd(x, p, dtype, interpret):
-    out, g1, dg1, rhat, inv2, g3, dg3 = _fwd_res(x, p, dtype, interpret)
+    out, g1, dg1, rhat, inv2, g3, dg3 = _fwd_res_dispatch(x, p, dtype, interpret)
     return out, (x, p, g1, dg1, rhat, inv2, g3, dg3)
 
 

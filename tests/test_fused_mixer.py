@@ -191,6 +191,47 @@ def test_pipe_mode_matches_plain_kernel(monkeypatch):
     assert mb._pipe_enabled(16)
 
 
+@pytest.mark.slow
+def test_train_pipe_matches_plain_kernel(monkeypatch):
+    """FFVC_FUSED_TRAIN_PIPE (skewed residual-emitting TRAIN forward) keeps
+    per-element op order unchanged — no FF halving, unlike the infer pipe —
+    so all seven outputs (out + saved residuals) match _fwd_res to rounding.
+    (Not bit-exact in interpret mode: XLA-CPU reassociates the LN-stat
+    reductions differently per program context — measured, the PLAIN kernel
+    already differs ~9e-4 on inv2 from the same math traced standalone — so
+    the bar is ~1 bf16 ULP on dtype outputs, tight f32 on the f32 path.)"""
+    from feed_forward_vqgan_clip_tpu.ops.pallas import mixer_block as mb
+
+    mapper, params, _ = _mk(jnp.float32)
+    p = params["params"]["block_0"]
+    h = jax.random.normal(jax.random.PRNGKey(3), (5, 256, 128), jnp.float32)
+    names = ("out", "g1", "dg1", "rhat", "inv2", "g3", "dg3")
+    for dt, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.04)):
+        plain = mb._fwd_res(h, p, dt, True)
+        piped = mb._fwd_res_pipe(h, p, dt, True)
+        for name, a, b in zip(names, piped, plain):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(1.0, float(np.abs(b).max()))
+            assert np.abs(a - b).max() <= atol * scale, (name, dt)
+
+    def grads(env):
+        monkeypatch.setattr(mb, "_TRAIN_PIPE_ENV", env)
+        def scalar(pp, xx):
+            return jnp.sum(mb.fused_mixer_block_train(xx, pp, jnp.float32, True) ** 2)
+        return jax.grad(scalar, argnums=(0, 1))(p, h)
+
+    gp_on, gx_on = grads("1")
+    gp_off, gx_off = grads("0")
+    np.testing.assert_allclose(
+        np.asarray(gx_on), np.asarray(gx_off), rtol=1e-4, atol=1e-4
+    )
+    _assert_grads_close(gp_on, gx_on, gp_off, gx_off, rel=1e-3)
+    # batch-1 falls back to the plain kernel (no second element to skew with)
+    monkeypatch.setattr(mb, "_TRAIN_PIPE_ENV", "1")
+    assert not mb._train_pipe_enabled(1)
+
+
 class TestTrainGrads:
     """Pallas fused-block backward (custom_vjp) vs XLA autodiff of the module
     path: input grad + every param grad, interpret mode on CPU."""

@@ -13,11 +13,11 @@ specials — 49408 entries total.
 
 Cleaning parity: the reference's pipeline runs ftfy.fix_text before BPE; this
 tokenizer applies the vendored caption-relevant subset of it
-(tokenizer/text_fix.py: mojibake repair, C1 controls, width folding, quote
-uncurling, NFC) followed by html-unescape + whitespace collapse + lowercase.
-Remaining divergence (long-tail web text only): ftfy's lossy-sequence
-replacement, byte-A0 restoration and surrogate repair — see text_fix.py and
-PARITY.md.
+(tokenizer/text_fix.py: mojibake repair incl. byte-A0 restoration and
+lossy-sequence replacement, surrogate repair, C1 controls, width folding,
+quote uncurling, NFC) followed by html-unescape + whitespace collapse +
+lowercase. Remaining divergence (pathological web text only): ftfy's
+span-segmented repair and ligature expansion — see text_fix.py and PARITY.md.
 """
 
 import functools

@@ -157,3 +157,38 @@ class TestTextFix:
         from feed_forward_vqgan_clip_tpu.tokenizer.bpe import _clean
 
         assert _clean("DoesnÃ¢â‚¬â„¢t  Matter") == "doesn't matter"
+
+    def test_byte_a0_restoration(self):
+        # cp1252 decodes a 0xA0 continuation byte as NBSP, which web pipelines
+        # flatten to a plain space; the repair puts 0xA0 back before decoding
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        assert fix_text("voilÃ !") == "voilà!"  # à = C3 A0
+        # mid-string: "déjà vu" mangles to "dÃ©jÃ\xa0 vu"; NBSP flattened to a
+        # space leaves "dÃ©jÃ  vu" — only the continuation-position space is
+        # restored, the real word gap survives
+        s = "déjà vu".encode("utf-8").decode("cp1252").replace("\xa0", " ")
+        assert s == "dÃ©jÃ  vu"
+        assert fix_text(s) == "déjà vu"
+
+    def test_lossy_sequence_replacement(self):
+        # a lossy charset decode that SUB'd (0x1A) one continuation byte:
+        # the whole broken sequence becomes U+FFFD instead of killing the fix
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        # "don’t": ’ = E2 80 99; mis-decoded with the 99 byte lost to SUB
+        assert fix_text("donâ€\x1at") == "don�t"
+        # the surrounding (intact) mojibake still repairs in the same pass
+        assert fix_text("cafÃ© donâ€\x1at") == "café don�t"
+
+    def test_surrogate_repair(self):
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        # leaked UTF-16 pair recombines into the astral char (😀 = U+1F600)
+        assert fix_text("nice \ud83d\ude00!") == "nice 😀!"
+        # lone surrogate becomes U+FFFD
+        assert fix_text("bad\ud800x") == "bad�x"
+        # astral chars bound the repairable spans — mojibake next to an emoji
+        # still repairs (segmented, ftfy-style) instead of aborting
+        assert fix_text("cafÃ© 😀") == "café 😀"
+        assert fix_text("cafÃ© 😀 donâ€™t") == "café 😀 don't"

@@ -21,7 +21,12 @@ math (tests/test_augment.py), not just the same transform family:
   Ji2 ColorJitter(brightness .1, contrast .1, sat .05, hue .05, p .5)
   Sh  RandomSharpness(.4, p .7)    Gn  GaussianNoise(std 1, p .5)
   Ro  RandomRotation(15, p .7)
-  Cr/Re/Re2/Cc/R crops+resizes     exact family (same transform + sampler)
+  Cr/Re/Cc crops (+Re2)            exact family: the same output->input map
+      kornia's crop_by_boxes solves (sx = x0 + qx*(cw-1)/(S-1)), expressed as
+      a projective matrix and routed through `warp_projective` — so crops ride
+      the MXU warp kernels instead of the gather/scatter pair (measured
+      617.6 -> 22.7 ms fwd+bwd for a Cc chain at train shapes, BENCH_NOTES.md)
+  R   resize                       jax.image bilinear
 """
 
 import functools
@@ -118,10 +123,12 @@ def solve_homography(src, dst):
     return jnp.concatenate([p, jnp.ones((b, 1))], axis=1).reshape(b, 3, 3)
 
 
-def warp_perspective_inverse(img, h_inv, padding_mode="zeros"):
-    """Warp with per-sample inverse homography (output->input, pixel coords)."""
+def warp_perspective_inverse(img, h_inv, padding_mode="zeros", out_hw=None):
+    """Warp with per-sample inverse homography (output->input, pixel coords).
+    out_hw sets the output grid size (crops/resizes); default = input size."""
     b, h, w, _ = img.shape
-    gx, gy = _base_grid(b, h, w)
+    oh, ow = out_hw or (h, w)
+    gx, gy = _base_grid(b, oh, ow)
     den = h_inv[:, 2, 0, None, None] * gx + h_inv[:, 2, 1, None, None] * gy + h_inv[:, 2, 2, None, None]
     sx = (h_inv[:, 0, 0, None, None] * gx + h_inv[:, 0, 1, None, None] * gy + h_inv[:, 0, 2, None, None]) / den
     sy = (h_inv[:, 1, 0, None, None] * gx + h_inv[:, 1, 1, None, None] * gy + h_inv[:, 1, 2, None, None]) / den
@@ -165,21 +172,21 @@ def _fast_vjp_enabled():
         return False
 
 
-def _proj_warp_math(img, m, padding_mode):
-    return warp_perspective_inverse(img, m, padding_mode)
+def _proj_warp_math(img, m, padding_mode, out_hw=None):
+    return warp_perspective_inverse(img, m, padding_mode, out_hw)
 
 
-def _xla_adjoint(gout, m, img_sd, padding_mode):
+def _xla_adjoint(gout, m, img_sd, padding_mode, out_hw=None):
     # the .astype matches _dispatch_forward's output cast (bf16 pixels promote
     # through grid_sample's f32 lerp weights; the transposed fn must agree)
     (gimg,) = jax.linear_transpose(
-        lambda im: _proj_warp_math(im, m, padding_mode).astype(img_sd.dtype),
+        lambda im: _proj_warp_math(im, m, padding_mode, out_hw).astype(img_sd.dtype),
         img_sd,
     )(gout.astype(img_sd.dtype))
     return gimg
 
 
-def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
+def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind, out_hw=None):
     """Exact grad via the gather kernel, lax.cond-guarded to the XLA transpose.
 
     border mode is handled by in-kernel coordinate clamping (grid_sample's
@@ -206,14 +213,14 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
     border = padding_mode == "border"
 
     if oh % align != 0:
-        return _xla_adjoint(gout, m, img_sd, padding_mode)
+        return _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
     full = (oh // align) * align
     tile, ck = pick_tile(h, w, ow, c, full)
     if tile is None:
-        return _xla_adjoint(gout, m, img_sd, padding_mode)
+        return _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
     cand = pick_cand(tile, kind, w, oh, border)
     if cand < align or cand % align != 0:
-        return _xla_adjoint(gout, m, img_sd, padding_mode)
+        return _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
     if cand < full:
         tile, ck = pick_tile(h, w, ow, c, cand)
         # pick_tile's VMEM estimate is monotone in cand today, so this re-pick
@@ -221,7 +228,7 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
         # the estimate, not of the interface; guard so a future heuristic
         # change degrades to the XLA path instead of a TypeError.
         if tile is None:
-            return _xla_adjoint(gout, m, img_sd, padding_mode)
+            return _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
 
     origins, uncovered = adjoint_plan(m, (h, w), (oh, ow), tile, cand, align=align)
 
@@ -235,15 +242,16 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind):
         return fast(gout).astype(img_sd.dtype)
 
     def slow(g):
-        return _xla_adjoint(g, m, img_sd, padding_mode).astype(g.dtype)
+        return _xla_adjoint(g, m, img_sd, padding_mode, out_hw).astype(g.dtype)
 
     return jax.lax.cond(uncovered, slow, fast, gout).astype(img_sd.dtype)
 
 
-def _pallas_forward(img, m, padding_mode, kind):
+def _pallas_forward(img, m, padding_mode, kind, out_hw=None):
     """MXU-contraction forward (ops/pallas/warp_forward.py), lax.cond-guarded
     to the XLA gather on uncoverable draws. Same math as _proj_warp_math,
-    different rounding order (~1e-5)."""
+    different rounding order (~1e-5). out_hw != input size (crops) rides the
+    kernel's rectangular output support (output row bands, input row windows)."""
     from feed_forward_vqgan_clip_tpu.ops.pallas.warp_forward import (
         forward_plan,
         pick_fwd_cand,
@@ -251,21 +259,22 @@ def _pallas_forward(img, m, padding_mode, kind):
     )
 
     b, h, w, c = img.shape
+    oh, ow = out_hw or (h, w)
     bf16 = img.dtype == jnp.bfloat16
     align = 16 if bf16 else 8
     kdt = jnp.bfloat16 if bf16 else jnp.float32
-    tile = next((t for t in (32, 16, 8) if h % t == 0), None)
+    tile = next((t for t in (32, 16, 8) if oh % t == 0), None)
     if tile is None or h % align != 0:
-        return _proj_warp_math(img, m, padding_mode)
+        return _proj_warp_math(img, m, padding_mode, out_hw)
     border = padding_mode == "border"
-    cand = pick_fwd_cand(tile, kind, w, h)
+    cand = pick_fwd_cand(tile, kind, ow, h)
     if cand < align or cand % align != 0:
-        return _proj_warp_math(img, m, padding_mode)
-    origins, uncovered = forward_plan(m, h, (h, w), tile, cand, border, align=align)
+        return _proj_warp_math(img, m, padding_mode, out_hw)
+    origins, uncovered = forward_plan(m, h, (oh, ow), tile, cand, border, align=align)
 
     def fast(im):
         return warp_forward(
-            im, m, origins, out_hw=(h, w), tile=tile, cand=cand, border=border,
+            im, m, origins, out_hw=(oh, ow), tile=tile, cand=cand, border=border,
             interpret=_WARP_INTERPRET,
         )
 
@@ -273,23 +282,24 @@ def _pallas_forward(img, m, padding_mode, kind):
         return fast(img.astype(kdt)).astype(img.dtype)
 
     def slow(im):
-        return _proj_warp_math(im, m, padding_mode).astype(kdt)
+        return _proj_warp_math(im, m, padding_mode, out_hw).astype(kdt)
 
     return jax.lax.cond(
         uncovered, slow, fast, img.astype(kdt)
     ).astype(img.dtype)
 
 
-def _dispatch_forward(img, m, padding_mode, kind):
+def _dispatch_forward(img, m, padding_mode, kind, out_hw=None):
     # output dtype always equals img dtype (grid_sample's f32 lerp weights
     # promote bf16 pixels — cast back so the Pallas and XLA paths agree)
     if _fast_fwd_enabled():
-        return _pallas_forward(img, m, padding_mode, kind).astype(img.dtype)
-    return _proj_warp_math(img, m, padding_mode).astype(img.dtype)
+        return _pallas_forward(img, m, padding_mode, kind, out_hw).astype(img.dtype)
+    return _proj_warp_math(img, m, padding_mode, out_hw).astype(img.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective",
+                    out_hw=None):
     """grid_sample with a projective (B, 3, 3) output->input map `m`, a fast
     MXU forward, and a gather-only exact VJP. Forward math identical to
     warp_perspective_inverse (bit-identical when FFVC_WARP_FWD=xla; the Pallas
@@ -298,20 +308,20 @@ def warp_projective(img, m, padding_mode="zeros", pad=0, kind="projective"):
     needed); kept in the signature for call-site stability. Fallbacks to the
     XLA gather/transpose remain only for the narrow-window zeros-affine
     adjoint plan and non-8-multiple shapes."""
-    return _dispatch_forward(img, m, padding_mode, kind)
+    return _dispatch_forward(img, m, padding_mode, kind, out_hw)
 
 
-def _warp_projective_fwd(img, m, padding_mode, pad, kind):
-    out = _dispatch_forward(img, m, padding_mode, kind)
+def _warp_projective_fwd(img, m, padding_mode, pad, kind, out_hw):
+    out = _dispatch_forward(img, m, padding_mode, kind, out_hw)
     return out, (m, jax.ShapeDtypeStruct(img.shape, img.dtype))
 
 
-def _warp_projective_bwd(padding_mode, pad, kind, res, gout):
+def _warp_projective_bwd(padding_mode, pad, kind, out_hw, res, gout):
     m, img_sd = res
     if _fast_vjp_enabled():
-        gimg = _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind)
+        gimg = _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind, out_hw)
     else:
-        gimg = _xla_adjoint(gout, m, img_sd, padding_mode)
+        gimg = _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
     return gimg, jnp.zeros_like(m)
 
 
@@ -824,14 +834,29 @@ def resize_bilinear(key, x, size, p=1.0):
 
 
 def _crop_resize(x, x0, y0, cw, ch, out_size):
-    """Crop per-sample region (x0, y0, cw, ch) and bilinear-resize to out_size."""
+    """Crop per-sample region (x0, y0, cw, ch) and bilinear-resize to out_size.
+
+    The sampling map is the axis-aligned projective
+    sx = x0 + qx*(cw-1)/(S-1), sy = y0 + qy*(ch-1)/(S-1) — the same map
+    kornia's crop_by_boxes solves from its box corners — expressed as a
+    (B, 3, 3) matrix and routed through `warp_projective`, so crops get the
+    MXU warp forward + gather-only adjoint instead of grid_sample's
+    gather/scatter pair (617.6 -> 22.7 ms fwd+bwd for a Cc chain at train
+    shapes, BENCH_NOTES.md). Border clamping matches the old grid_sample
+    call; crop boxes are in-frame by construction anyway."""
     b = x.shape[0]
-    lin = jnp.linspace(0.0, 1.0, out_size)
-    gx = x0[:, None, None] + lin[None, None, :] * (cw[:, None, None] - 1)
-    gy = y0[:, None, None] + lin[None, :, None] * (ch[:, None, None] - 1)
-    gx = jnp.broadcast_to(gx, (b, out_size, out_size))
-    gy = jnp.broadcast_to(gy, (b, out_size, out_size))
-    return grid_sample(x, gx, gy, "border")
+    zeros = jnp.zeros((b,), jnp.float32)
+    ones = jnp.ones((b,), jnp.float32)
+    denom = float(max(out_size - 1, 1))
+    m = jnp.stack(
+        [
+            jnp.stack([(cw - 1.0) / denom, zeros, x0], -1),
+            jnp.stack([zeros, (ch - 1.0) / denom, y0], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=1,
+    )
+    return warp_projective(x, m, "border", 0, "crop", (out_size, out_size))
 
 
 def _conv2d_same(x, kernel2d):

@@ -203,3 +203,31 @@ def test_bf16_adjoint_mode():
     scale = float(jnp.max(jnp.abs(g32))) + 1e-8
     err = float(jnp.max(jnp.abs(g16.astype(jnp.float32) - g32))) / scale
     assert err < 5e-2, err
+
+
+def test_crop_rectangular_adjoint_exact():
+    """Crop-family VJP (rectangular out_hw, round 4) must equal XLA's
+    scatter backward of the same forward."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    cw = jax.random.uniform(k1, (2,), minval=16.0, maxval=64.0)
+    ch = jax.random.uniform(k2, (2,), minval=16.0, maxval=64.0)
+    x0 = jax.random.uniform(k3, (2,)) * (64 - cw)
+    y0 = jax.random.uniform(k4, (2,)) * (64 - ch)
+    wts = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+
+    def fast_loss(im):
+        return jnp.sum(A._crop_resize(im, x0, y0, cw, ch, 32) * wts)
+
+    def ref_loss(im):
+        lin = jnp.linspace(0.0, 1.0, 32)
+        gx = x0[:, None, None] + lin[None, None, :] * (cw[:, None, None] - 1)
+        gy = y0[:, None, None] + lin[None, :, None] * (ch[:, None, None] - 1)
+        gx = jnp.broadcast_to(gx, (2, 32, 32))
+        gy = jnp.broadcast_to(gy, (2, 32, 32))
+        return jnp.sum(A.grid_sample(im, gx, gy, "border") * wts)
+
+    got = jax.grad(fast_loss)(img)
+    want = jax.grad(ref_loss)(img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)

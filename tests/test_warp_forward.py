@@ -166,3 +166,35 @@ def test_bf16_forward_mode(kind):
     np.testing.assert_allclose(
         np.asarray(got16, np.float32), np.asarray(want), atol=2e-2
     )
+
+
+def _crop_oracle(x, x0, y0, cw, ch, out_size):
+    """The pre-round-4 _crop_resize: explicit linspace grid + grid_sample."""
+    b = x.shape[0]
+    lin = jnp.linspace(0.0, 1.0, out_size)
+    gx = x0[:, None, None] + lin[None, None, :] * (cw[:, None, None] - 1)
+    gy = y0[:, None, None] + lin[None, :, None] * (ch[:, None, None] - 1)
+    gx = jnp.broadcast_to(gx, (b, out_size, out_size))
+    gy = jnp.broadcast_to(gy, (b, out_size, out_size))
+    return A.grid_sample(x, gx, gy, "border")
+
+
+def _crop_params(key, b, h, w, out):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cw = jax.random.uniform(k1, (b,), minval=out * 0.5, maxval=float(w))
+    ch = jax.random.uniform(k2, (b,), minval=out * 0.5, maxval=float(h))
+    x0 = jax.random.uniform(k3, (b,)) * (w - cw)
+    y0 = jax.random.uniform(k4, (b,)) * (h - ch)
+    return x0, y0, cw, ch
+
+
+def test_crop_rectangular_output_matches_grid_sample():
+    """_crop_resize rides the Pallas warp kernels with out_hw != input size
+    (round 4); it must match the explicit-grid construction it replaced."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(3, 64, 64, 3)), jnp.float32)
+    x0, y0, cw, ch = _crop_params(jax.random.PRNGKey(5), 3, 64, 64, 32)
+    got = A._crop_resize(img, x0, y0, cw, ch, 32)
+    want = _crop_oracle(img, x0, y0, cw, ch, 32)
+    assert got.shape == (3, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)

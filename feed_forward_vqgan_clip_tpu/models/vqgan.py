@@ -143,38 +143,95 @@ _PHASE_FOLD = jnp.asarray(
     jnp.float32,
 )
 
-_FAST_UPSAMPLE = os.environ.get("FFVC_FAST_UPSAMPLE", "0") not in ("0", "false")
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+@jax.custom_vjp
+def _dilated_up(x, k4):
+    """lhs-dilated 4x4 conv (Upsample mode 2 core). The custom VJP exists
+    because XLA's autodiff of a lhs-dilated conv lowers its input-gradient
+    pathologically on TPU (measured +79 ms on the train step); the true
+    adjoint is an ORDINARY stride-2 conv with the spatially-flipped,
+    IO-transposed kernel — the same shape as an encoder downsampling conv."""
+    return jax.lax.conv_general_dilated(
+        x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=_DN,
+    )
+
+
+def _dilated_up_fwd(x, k4):
+    return _dilated_up(x, k4), (x, k4)
+
+
+def _dilated_up_bwd(res, g):
+    x, k4 = res
+    # y[U] = sum_t K4[t] xd_pad2[U+t] with xd[2m] = x[m]  =>
+    # dx[m] = sum_t K4[t] g[2m+2-t] = (g * flip(K4)^T)[2m] at stride 2,
+    # padding (1, 2) per dim (output length (2H+3-4)//2+1 = H).
+    krev = jnp.flip(k4, (0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        g, krev, (2, 2), ((1, 2), (1, 2)), dimension_numbers=_DN
+    )
+    # kernel cotangent via XLA's own weight-grad (exact; DCE'd in training —
+    # the decoder is frozen — and only exercised by tiny-shape parity tests).
+    # vjp of the RAW conv, not _dilated_up: vjp-ing the custom_vjp'd function
+    # would re-enter this rule and recurse at trace time.
+    def _raw(kk):
+        return jax.lax.conv_general_dilated(
+            x, kk, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=_DN,
+        )
+
+    _, vjp_k = jax.vjp(_raw, k4)
+    (dk4,) = vjp_k(g)
+    return dx, dk4
+
+
+_dilated_up.defvjp(_dilated_up_fwd, _dilated_up_bwd)
+
+
+# FFVC_FAST_UPSAMPLE: 0 = naive NN-2x + 3x3 conv (the reference graph) |
+# 1 = phase-decomposed 2x2 conv + pixel shuffle (measured LOSS on v5e —
+# relayout-bound) | 2 = lhs-dilated 4x4 conv (transposed-conv form; DEFAULT —
+# measured clamp+synth 97.8 -> 83.5 ms at B=64/256px on v5e). All three are
+# mathematically identical; see Upsample docstring.
+_FAST_UPSAMPLE_MODE = os.environ.get("FFVC_FAST_UPSAMPLE", "2")
+if _FAST_UPSAMPLE_MODE in ("false", ""):
+    _FAST_UPSAMPLE_MODE = "0"
+if _FAST_UPSAMPLE_MODE == "true":
+    _FAST_UPSAMPLE_MODE = "1"
 
 
 class Upsample(nn.Module):
     """Nearest-neighbor 2x upsample followed by a 3x3 conv (taming's Upsample).
 
-    Two mathematically identical compute paths:
-      * naive: materialize the (2H, 2W) NN-upsampled tensor, 3x3 conv pad 1 —
-        the reference graph, 36 MACs per output pixel per (Cin->Cout) pair.
-      * fast (opt-in via FFVC_FAST_UPSAMPLE=1): because NN duplication
-        makes the 3x3 window read at most 2x2 DISTINCT input pixels per output
-        phase, fold the kernel per phase (K2[p,q] = R[p] K R[q]^T over tap
-        space, output channels stacked 4*Cout) and run ONE VALID 2x2 conv on
-        the once-padded (H+2, W+2) input, then pixel-shuffle the 4 phase
-        groups — 16 MACs per output pixel, a 2.25x FLOP cut on the decoder's
-        four upsample convs (~35 of its 270 GFLOP/img at 256px), and the
-        (2H, 2W, C) pre-conv intermediate is never materialized. Numerics
-        differ only by the f32 pre-summing of adjacent taps (folded BEFORE the
-        compute-dtype cast, so bf16 sees one rounding where the naive path
-        rounds each tap) — within oracle tolerance, tested bit-tight in f32.
+    Three mathematically identical compute paths (`fast` / FFVC_FAST_UPSAMPLE):
+      * "0" naive: materialize the (2H, 2W) NN-upsampled tensor, 3x3 conv pad
+        1 — the reference graph, 36 MACs per output pixel per (Cin->Cout)
+        pair.
+      * "1" phase-decomposed: NN duplication makes the 3x3 window read at most
+        2x2 DISTINCT input pixels per output phase, so fold the kernel per
+        phase (K2[p,q] = R[p] K R[q]^T over tap space, output channels stacked
+        4*Cout), run ONE VALID 2x2 conv, pixel-shuffle the 4 phase groups —
+        16 MACs/px. MEASURED a net LOSS on v5e (clamp+synth 116.6 vs 98.0 ms
+        naive at B=64): the phase slicing + depth-to-space interleave is pure
+        relayout traffic on (B, 2H, 2W, C)-scale tensors.
+      * "2" lhs-dilated (DEFAULT, round 4): the same 16-MACs/px fold expressed
+        as ONE lhs_dilation=(2,2) conv with the 4x4 kernel K4 = F K F^T over
+        tap space (F = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]] — each output phase
+        reads 2 distinct input pixels per dim with tap weights pre-summed).
+        This is exactly the conv-input-gradient shape XLA's TPU backend
+        already lowers well, so the FLOP cut arrives WITHOUT the relayout:
+        MEASURED clamp+synth 97.8 -> 83.5 ms at B=64/256px (full bench
+        385.5 -> 420 img/s class). The zero-stuffed positions are skipped by
+        the backend's phase handling, not computed.
 
-    The parameter tree is nn.Conv-compatible ({conv: {kernel, bias}}) in both
-    paths; gradients flow through the fold, so training takes the same cut.
-
-    MEASURED (v5e, 2026-08-18, B=64 @256px): the fast path is a net LOSS on
-    TPU — clamp+synth 116.57 ms vs 98.02 ms naive, full bench 337.3 vs
-    ~377 img/s — despite the 2.25x FLOP cut (XLA cost model confirms 402.1 vs
-    428.3 live GFLOP/img). The phase slicing + depth-to-space interleave is
-    pure relayout traffic on (B, 2H, 2W, C)-scale tensors, and the naive
-    upsample convs were already near the decoder's ~91% FLOP-util, i.e. not
-    the bottleneck the cost model suggested. Default is therefore OFF; the
-    path stays available (and parity-pinned) for bandwidth-rich backends.
+    Numerics across paths differ only by the f32 pre-summing of adjacent taps
+    (folded BEFORE the compute-dtype cast, so bf16 sees one rounding where the
+    naive path rounds each tap) — within oracle tolerance, tested bit-tight in
+    f32 (tests/test_vqgan.py). The parameter tree is nn.Conv-compatible
+    ({conv: {kernel, bias}}) in all paths; gradients flow through the fold, so
+    training takes the same cut.
     """
 
     dtype: Any = jnp.float32
@@ -184,14 +241,37 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         k, bias = _Conv3x3Params(c, c, name="conv")()
-        fast = _FAST_UPSAMPLE if self.fast is None else self.fast
+        if self.fast is None:
+            mode = _FAST_UPSAMPLE_MODE
+        elif self.fast in (True, 1, "1"):
+            mode = "1"
+        elif self.fast in (False, 0, "0"):
+            mode = "0"
+        else:
+            mode = str(self.fast)
         dn = ("NHWC", "HWIO", "NHWC")
-        if not fast:
+        if mode == "0":
             u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2).astype(self.dtype)
             out = jax.lax.conv_general_dilated(
                 u, k.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=dn,
             )
+            return out + bias.astype(self.dtype)
+        if mode == "2":
+            # transposed-conv form: NN2x + 3x3/pad1 == lhs-dilated (stride-2
+            # zero-stuffed) conv with the 4x4 kernel K4[a,b] = F K F^T over tap
+            # space, F = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]] (each output phase
+            # reads 2 distinct input pixels per dim with tap weights summed;
+            # padding (2,2) makes output row U read xd[U-2..U+1]). Taps are
+            # pre-summed in f32 before the compute-dtype cast, like mode 1.
+            # This is XLA's native conv-input-gradient shape — the relayout
+            # that sank mode 1 never materializes.
+            fold = jnp.asarray(
+                [[1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]],
+                jnp.float32,
+            )
+            k4 = jnp.einsum("ai,ijuv,bj->abuv", fold, k.astype(jnp.float32), fold)
+            out = _dilated_up(x.astype(self.dtype), k4.astype(self.dtype))
             return out + bias.astype(self.dtype)
         # K2[p,q,a,b,u,v] = sum_ij R[p,a,i] K[i,j,u,v] R[q,b,j]; output-channel
         # layout (p, q, v) so one conv computes all four phases

@@ -168,14 +168,38 @@ class TestBlocksParity:
         for a, b in zip(jax.tree.leaves(gp_f), jax.tree.leaves(gp_n)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
-    def test_upsample_fast_bf16(self, rng):
-        """bf16 compute: the fast path folds taps in f32 BEFORE the bf16 cast,
-        so it stays within bf16 rounding of the naive bf16 path."""
+    def test_upsample_dilated_matches_naive(self, rng):
+        """Mode 2 (round 4): NN-2x + 3x3/pad1 expressed as ONE lhs-dilated
+        4x4 conv (K4 = F K F^T over tap space) — XLA's native transposed-conv
+        shape, no phase slicing or pixel shuffle. Same function as naive."""
+        c = 16
+        x = jnp.asarray(rng.normal(size=(2, 7, 5, c)), jnp.float32)
+        params = Upsample(fast=False).init(jax.random.PRNGKey(3), x)
+        naive = Upsample(fast=False).apply(params, x)
+        fast = Upsample(fast="2").apply(params, x)
+        assert fast.shape == naive.shape == (2, 14, 10, c)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(naive), atol=1e-5, rtol=1e-5
+        )
+
+        def loss(mod, p, x):
+            return jnp.sum(jnp.sin(mod.apply(p, x)))
+
+        gp_n, gx_n = jax.grad(lambda p, x: loss(Upsample(fast=False), p, x), (0, 1))(params, x)
+        gp_f, gx_f = jax.grad(lambda p, x: loss(Upsample(fast="2"), p, x), (0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n), atol=1e-4)
+        for a, b in zip(jax.tree.leaves(gp_f), jax.tree.leaves(gp_n)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    @pytest.mark.parametrize("mode", [True, "2"])
+    def test_upsample_fast_bf16(self, rng, mode):
+        """bf16 compute: both fast paths fold taps in f32 BEFORE the bf16
+        cast, so they stay within bf16 rounding of the naive bf16 path."""
         c = 16
         x = jnp.asarray(rng.normal(size=(1, 6, 6, c)), jnp.float32)
         params = Upsample(fast=False).init(jax.random.PRNGKey(4), x)
         naive = Upsample(fast=False, dtype=jnp.bfloat16).apply(params, x)
-        fast = Upsample(fast=True, dtype=jnp.bfloat16).apply(params, x)
+        fast = Upsample(fast=mode, dtype=jnp.bfloat16).apply(params, x)
         scale = float(jnp.max(jnp.abs(naive.astype(jnp.float32)))) + 1e-6
         diff = float(jnp.max(jnp.abs((fast - naive).astype(jnp.float32))))
         assert diff / scale < 0.05, (diff, scale)

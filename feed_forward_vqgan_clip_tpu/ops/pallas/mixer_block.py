@@ -896,6 +896,77 @@ def _channel_bwd_kernel(
     dr_ref[0] = dout + _ln_bwd(drn, rhat, inv2, s2)
 
 
+def _channel_bwd_pipe_kernel(
+    dout_ref, dout_prev_ref, rhat_ref, inv2_ref, g3_ref, dgelu3_ref,
+    ln2s_ref, ln2b_ref, w1_ref, w2_ref,
+    dr_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dls2_ref, dlb2_ref,
+    da3_scr,
+    *, dtype, nb,
+):
+    """Skewed _channel_bwd_kernel: step j runs phase 2 of element j-1 (all
+    accumulations + dr) interleaved with phase 1 of element j (the dg3
+    contraction + gelu' product, carried f32 in a 2-slot scratch), so every
+    MXU dot has the other phase's reductions/LN-backward VPU work adjacent in
+    program order. Element e's accumulation happens at step e+1 in the same
+    e = 0..nb-1 sequence as the unskewed kernel, and the per-element terms
+    are computed identically (da3 carried in f32), so the param grads are
+    bit-identical. Boundary steps (grid nb+1): step 0's phase 2 is fully
+    guarded (accumulators are zero-initialized, the dr block-0 write is
+    overwritten at step 1 before HBM writeback); step nb's phase 1
+    recomputes element nb-1 into an unread scratch slot."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        da3_scr[1] = jnp.zeros_like(da3_scr[1])
+        for ref in (dw1_ref, db1_ref, dw2_ref, db2_ref, dls2_ref, dlb2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    valid = j > 0
+    s2 = ln2s_ref[:]
+    da3f = da3_scr[(j - 1) % 2]                                # (T, Ec) f32
+    da3 = da3f.astype(dtype)
+    rhat = rhat_ref[0].astype(jnp.float32)
+    rn = (rhat * s2 + ln2b_ref[:]).astype(dtype)               # VPU
+    # P1(j): the big dg3 contraction — P2's reductions co-issue under it
+    dg3 = jax.lax.dot_general(
+        dout_ref[0].astype(dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                           # MXU
+    dout_prev = dout_prev_ref[0].astype(jnp.float32)
+
+    @pl.when(valid)
+    def _sums():                                                # VPU — under dg3
+        db1_ref[...] += jnp.sum(da3f, axis=0, keepdims=True)
+        db2_ref[...] += jnp.sum(dout_prev, axis=0, keepdims=True)
+
+    @pl.when(valid)
+    def _dw1():                                                 # MXU
+        dw1_ref[...] += jax.lax.dot_general(
+            rn, da3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    da3_scr[j % 2] = dg3 * dgelu3_ref[0].astype(jnp.float32)    # VPU (P1 tail)
+
+    @pl.when(valid)
+    def _dw2():                                                 # MXU
+        dw2_ref[...] += jax.lax.dot_general(
+            g3_ref[0], dout_prev.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    drn = jax.lax.dot_general(                                  # MXU
+        da3, w1_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(valid)
+    def _ln_sums():                                             # VPU — under dw2/drn
+        dls2_ref[...] += jnp.sum(drn * rhat, axis=0, keepdims=True)
+        dlb2_ref[...] += jnp.sum(drn, axis=0, keepdims=True)
+
+    dr_ref[0] = dout_prev + _ln_bwd(drn, rhat, inv2_ref[0], s2)
+
+
 def _token_bwd_kernel(
     dr_ref, x_ref, g1_ref, dgelu1_ref, ln1s_ref, ln1b_ref, t1_ref, t2_ref,
     dx_ref, dt1_ref, dt1b_ref, dt2_ref, dt2b_ref, dls1_ref, dlb1_ref,
@@ -1065,10 +1136,86 @@ def _train_pipe_enabled(b):
     return _TRAIN_PIPE_DEFAULT and b >= _TRAIN_PIPE_MIN_BATCH
 
 
+# FFVC_CHANNEL_BWD_PIPE: route the channel backward through the skewed kernel
+# (phase 2 of element j-1 under phase 1 of element j). Param grads are
+# bit-identical (same per-element terms, same accumulation sequence).
+_CH_BWD_PIPE_ENV = os.environ.get("FFVC_CHANNEL_BWD_PIPE", "")
+_CH_BWD_PIPE_DEFAULT = True
+
+
+def _channel_bwd_pipe_enabled(b):
+    if _CH_BWD_PIPE_ENV in ("1", "true"):
+        return b >= 2
+    if _CH_BWD_PIPE_ENV in ("0", "false"):
+        return False
+    return _CH_BWD_PIPE_DEFAULT and b >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _channel_bwd_pipe(dout, rhat, inv2, g3, dgelu3, p, dtype, interpret):
+    b, t, d = dout.shape
+    ec = g3.shape[-1]
+    const = lambda j: (0, 0)
+    cur = lambda j: (jnp.minimum(j, b - 1), 0, 0)   # phase-1 element
+    prev = lambda j: (jnp.maximum(j - 1, 0), 0, 0)  # phase-2 element
+    args = (
+        dout,
+        dout,
+        rhat,
+        inv2,
+        g3,
+        dgelu3,
+        p["channel_norm"]["scale"].reshape(1, d).astype(jnp.float32),
+        p["channel_norm"]["bias"].reshape(1, d).astype(jnp.float32),
+        p["channel_fc1"]["kernel"].astype(dtype),
+        p["channel_fc2"]["kernel"].astype(dtype),
+    )
+    in_specs = [
+        pl.BlockSpec((1, t, d), cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, 1), prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, ec), prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, ec), cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_channel_bwd_pipe_kernel, dtype=dtype, nb=b),
+        grid=(b + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, t, d), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ec), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ec), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ec, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, d), jnp.float32),  # dr
+            jax.ShapeDtypeStruct((d, ec), jnp.float32),  # dw1
+            jax.ShapeDtypeStruct((1, ec), jnp.float32),  # db1
+            jax.ShapeDtypeStruct((ec, d), jnp.float32),  # dw2
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # db2
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # dls2
+            jax.ShapeDtypeStruct((1, d), jnp.float32),  # dlb2
+        ],
+        scratch_shapes=[pltpu.VMEM((2, t, ec), jnp.float32)],  # da3 carry (f32)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
 def _channel_bwd(dout, rhat, inv2, g3, dgelu3, p, dtype, interpret):
     b, t, d = dout.shape
     ec = g3.shape[-1]
+    if _channel_bwd_pipe_enabled(b):
+        return _channel_bwd_pipe(dout, rhat, inv2, g3, dgelu3, p, dtype, interpret)
     const = lambda i: (0, 0)
     elem = lambda i: (i, 0, 0)
     args = (

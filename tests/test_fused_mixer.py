@@ -232,6 +232,39 @@ def test_train_pipe_matches_plain_kernel(monkeypatch):
     assert not mb._train_pipe_enabled(1)
 
 
+def test_channel_bwd_pipe_matches_plain_kernel(monkeypatch):
+    """FFVC_CHANNEL_BWD_PIPE (skewed channel backward, round 4): per-element
+    terms and the accumulation sequence are identical to the unskewed kernel
+    (da3 carried f32 in scratch), so ALL seven outputs — dr and the six param
+    grads — must match the plain kernel to f32-tight tolerance."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas import mixer_block as mb
+
+    mapper, params, _ = _mk(jnp.float32)
+    p = params["params"]["block_0"]
+    b, t, d = 5, 256, 128
+    ec = p["channel_fc1"]["kernel"].shape[1]
+    key = jax.random.PRNGKey(9)
+    ks = jax.random.split(key, 5)
+    dout = jax.random.normal(ks[0], (b, t, d), jnp.float32)
+    rhat = jax.random.normal(ks[1], (b, t, d), jnp.float32)
+    inv2 = jax.random.uniform(ks[2], (b, t, 1), jnp.float32, 0.5, 2.0)
+    for dt, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 1e-5)):
+        g3 = jax.random.normal(ks[3], (b, t, ec), dt)
+        dgelu3 = jax.random.normal(ks[4], (b, t, ec), dt)
+        monkeypatch.setattr(mb, "_CH_BWD_PIPE_ENV", "0")
+        plain = mb._channel_bwd(dout, rhat, inv2, g3, dgelu3, p, dt, True)
+        piped = mb._channel_bwd_pipe(dout, rhat, inv2, g3, dgelu3, p, dt, True)
+        names = ("dr", "dw1", "db1", "dw2", "db2", "dls2", "dlb2")
+        for name, a, bb in zip(names, piped, plain):
+            a = np.asarray(a, np.float32)
+            bb = np.asarray(bb, np.float32)
+            scale = max(1.0, float(np.abs(bb).max()))
+            assert np.abs(a - bb).max() <= atol * scale, (name, dt)
+    # batch-1 falls back to the plain kernel (no second element to skew with)
+    monkeypatch.setattr(mb, "_CH_BWD_PIPE_ENV", "1")
+    assert not mb._channel_bwd_pipe_enabled(1)
+
+
 class TestTrainGrads:
     """Pallas fused-block backward (custom_vjp) vs XLA autodiff of the module
     path: input grad + every param grad, interpret mode on CPU."""

@@ -12,11 +12,11 @@ STAGES=mapper timeout 580 python benchmarks/infer_stage_breakdown.py
 log "B. mapper stage, FFVC_MIXER_PAIR=1"
 FFVC_MIXER_PAIR=1 STAGES=mapper timeout 580 python benchmarks/infer_stage_breakdown.py
 
-log "C. synth stage, fast upsample ON (opt-in) then OFF (default)"
-FFVC_FAST_UPSAMPLE=1 STAGES=synth timeout 580 python benchmarks/infer_stage_breakdown.py
+log "C. synth stage, upsample mode 2 (lhs-dilated, default) then mode 0 (reference graph)"
 STAGES=synth timeout 580 python benchmarks/infer_stage_breakdown.py
+FFVC_FAST_UPSAMPLE=0 STAGES=synth timeout 580 python benchmarks/infer_stage_breakdown.py
 
-log "D. full bench, defaults (upsample off, pair off)"
+log "D. full bench, defaults (upsample mode 2, pair off)"
 timeout 580 python bench.py
 
 log "E. full bench, FFVC_MIXER_PAIR=1 (only meaningful if B won)"

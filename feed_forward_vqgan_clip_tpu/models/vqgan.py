@@ -235,7 +235,7 @@ class Upsample(nn.Module):
     """
 
     dtype: Any = jnp.float32
-    fast: Any = None  # None -> FFVC_FAST_UPSAMPLE (default OFF); tests override
+    fast: Any = None  # None -> FFVC_FAST_UPSAMPLE (default mode 2); tests override
 
     @nn.compact
     def __call__(self, x):

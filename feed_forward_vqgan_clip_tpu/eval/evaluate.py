@@ -22,7 +22,7 @@ from feed_forward_vqgan_clip_tpu.infer import Generator
 from feed_forward_vqgan_clip_tpu.io.images import save_grid
 from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
 from feed_forward_vqgan_clip_tpu.ops.losses import normalize
-from feed_forward_vqgan_clip_tpu.registry import CLIP_MEAN, CLIP_SIZE, CLIP_STD
+from feed_forward_vqgan_clip_tpu.registry import CLIP_MEAN, CLIP_STD
 
 log = logging.getLogger(__name__)
 
@@ -60,7 +60,10 @@ def evaluate(
 
     gen = Generator(model_path, prior_path=prior_path)
     eval_perceptor = load_perceptor(clip_model, clip_model_path)
-    clip_size = CLIP_SIZE[clip_model]
+    # the perceptor knows its own input geometry — any name the trainer
+    # accepts (openclip tags, CLOOB, RN) works here too, instead of
+    # KeyError-ing on names outside the registry table
+    clip_size = eval_perceptor.size
 
     inception_fn = None
     inception_features = []

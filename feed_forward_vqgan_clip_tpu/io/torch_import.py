@@ -144,6 +144,56 @@ def _normalize_openclip_naming(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
     return sd
 
 
+def sniff_clip_arch(sd: Dict[str, np.ndarray]):
+    """Derive (family, arch_config) from a CLIP-layout state dict's shapes.
+
+    The reference hands arbitrary `openclip/<arch>/<tag>` names to
+    open_clip.create_model_and_transforms (main.py:1323-1329), which knows every
+    arch by name; here the checkpoint itself carries the architecture — the same
+    shape arithmetic OpenAI CLIP's build_model applies to decide ViT-vs-RN and
+    recover widths/layers/heads. Returns ('vit'|'resnet', dict) matching the
+    CLIP_VIT_CONFIGS / CLIP_RESNET_CONFIGS schema.
+    """
+    sd = _normalize_openclip_naming(dict(sd))
+    text = dict(
+        embed_dim=int(sd["text_projection"].shape[1]),
+        text_width=int(sd["ln_final.weight"].shape[0]),
+        text_layers=len({
+            k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")
+        }),
+        vocab_size=int(sd["token_embedding.weight"].shape[0]),
+        context_length=int(sd["positional_embedding"].shape[0]),
+    )
+    # real CLIP towers always use head_dim 64; max(1, .) keeps tiny test dicts valid
+    text["text_heads"] = max(1, text["text_width"] // 64)
+    if "visual.conv1.weight" in sd and "visual.class_embedding" in sd:  # ViT tower
+        width = int(sd["visual.conv1.weight"].shape[0])
+        patch = int(sd["visual.conv1.weight"].shape[-1])
+        grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+        layers = len({
+            k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")
+        })
+        return "vit", dict(
+            image_size=patch * grid, patch_size=patch, vision_width=width,
+            vision_layers=layers, vision_heads=max(1, width // 64), **text,
+        )
+    if any(k.startswith("visual.layer1.") for k in sd):  # ModifiedResNet tower
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+            for b in (1, 2, 3, 4)
+        )
+        width = int(sd["visual.layer1.0.conv1.weight"].shape[0])
+        out_grid = int(round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+        return "resnet", dict(
+            image_size=out_grid * 32, vision_layers=counts, vision_width=width,
+            **text,
+        )
+    raise ValueError(
+        "state dict is neither a CLIP ViT (visual.conv1 + class_embedding) nor a "
+        "ModifiedResNet (visual.layer1..4) checkpoint"
+    )
+
+
 def convert_clip_vit(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """OpenAI CLIP ViT state dict -> params for models.clip_vit.CLIP.
 

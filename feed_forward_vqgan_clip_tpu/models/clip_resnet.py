@@ -139,6 +139,7 @@ class CLIPResNet(nn.Module):
     text_heads: int = 8
     vocab_size: int = 49408
     context_length: int = 77
+    act: str = "quick_gelu"  # open_clip non-quickgelu RN tags use exact gelu
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -149,7 +150,7 @@ class CLIPResNet(nn.Module):
         self.text = TextTransformer(
             context_length=self.context_length, vocab_size=self.vocab_size,
             width=self.text_width, layers=self.text_layers, heads=self.text_heads,
-            embed_dim=self.embed_dim, dtype=self.dtype,
+            embed_dim=self.embed_dim, act=self.act, dtype=self.dtype,
         )
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(4.6052), (), jnp.float32
@@ -165,8 +166,21 @@ class CLIPResNet(nn.Module):
         return self.encode_text(tokens), self.encode_image(images)
 
 
-def load_clip_resnet(name: str, path: Optional[str] = None, dtype=jnp.float32):
-    """Build an RN-family perceptor; convert torch weights when a path is given."""
+def load_clip_resnet(
+    name: str,
+    path: Optional[str] = None,
+    dtype=jnp.float32,
+    act: str = "quick_gelu",
+    display_name: Optional[str] = None,
+    arch_config: Optional[dict] = None,
+):
+    """Build an RN-family perceptor; convert torch weights when a path is given.
+
+    `name` is the arch key into CLIP_RESNET_CONFIGS ('RN50', ...). `display_name`
+    overrides the reported Perceptor.name (used for 'openclip/RN50/<tag>' routes,
+    reference main.py:1323-1329). `arch_config` bypasses the registry (used with
+    state-dict-sniffed configs for archs outside the table).
+    """
     import logging
 
     from feed_forward_vqgan_clip_tpu.models.perceptor import Perceptor
@@ -176,13 +190,13 @@ def load_clip_resnet(name: str, path: Optional[str] = None, dtype=jnp.float32):
         CLIP_SIZE,
     )
 
-    cfg = CLIP_RESNET_CONFIGS[name]
+    cfg = arch_config if arch_config is not None else CLIP_RESNET_CONFIGS[name]
     module = CLIPResNet(
         image_size=cfg["image_size"], vision_layers=tuple(cfg["vision_layers"]),
         vision_width=cfg["vision_width"], embed_dim=cfg["embed_dim"],
         text_width=cfg["text_width"], text_layers=cfg["text_layers"],
         text_heads=cfg["text_heads"], vocab_size=cfg["vocab_size"],
-        context_length=cfg["context_length"], dtype=dtype,
+        context_length=cfg["context_length"], act=act, dtype=dtype,
     )
     params = None
     if path:
@@ -201,8 +215,9 @@ def load_clip_resnet(name: str, path: Optional[str] = None, dtype=jnp.float32):
             jnp.zeros((1, cfg["context_length"]), jnp.int32),
             jnp.zeros((1, cfg["image_size"], cfg["image_size"], 3), jnp.float32),
         )
+    report = display_name or name
     return Perceptor(
-        module=module, params=params, name=name,
-        size=CLIP_SIZE.get(name, cfg["image_size"]),
-        dim=CLIP_DIM.get(name, cfg["embed_dim"]),
+        module=module, params=params, name=report,
+        size=CLIP_SIZE.get(report, cfg["image_size"]),
+        dim=CLIP_DIM.get(report, cfg["embed_dim"]),
     )

@@ -269,22 +269,17 @@ class CLIP(nn.Module):
         return self.encode_text(tokens), self.encode_image(images)
 
 
-def make_clip(name: str, dtype=jnp.float32) -> CLIP:
-    """Build a CLIP ViT from a backbone name ('ViT-B/32', 'openclip/ViT-B-32/...')."""
-    from feed_forward_vqgan_clip_tpu.registry import CLIP_VIT_CONFIGS
+def openclip_vit_canonical(arch: str) -> str:
+    """open_clip dashed ViT arch name -> OpenAI slashed form (ViT-B-32 -> ViT-B/32)."""
+    import re
 
-    act = "quick_gelu"
-    if name.startswith("openclip/"):
-        _, arch, _tag = name.split("/")
-        act = "quick_gelu" if arch.endswith("-quickgelu") else "gelu"
-        arch = arch.replace("-quickgelu", "").replace("-", "/", 1).replace("-", "/")
-        # open_clip arch names use dashes: ViT-B-32 -> ViT-B/32
-        arch = {"ViT/B/32": "ViT-B/32", "ViT/B/16": "ViT-B/16", "ViT/L/14": "ViT-L/14"}.get(
-            arch, arch
-        )
-        cfg = CLIP_VIT_CONFIGS[arch]
-    else:
-        cfg = CLIP_VIT_CONFIGS[name]
+    m = re.fullmatch(r"ViT-([A-Za-z]+)-(\d+)", arch)
+    return f"ViT-{m.group(1)}/{m.group(2)}" if m else arch
+
+
+def make_clip_from_config(cfg: dict, act: str = "quick_gelu", dtype=jnp.float32) -> CLIP:
+    """Build a CLIP ViT from a CLIP_VIT_CONFIGS-schema dict (registry entry or
+    a state-dict-sniffed config, io/torch_import.sniff_clip_arch)."""
     return CLIP(
         image_size=cfg["image_size"],
         patch_size=cfg["patch_size"],
@@ -300,3 +295,23 @@ def make_clip(name: str, dtype=jnp.float32) -> CLIP:
         act=act,
         dtype=dtype,
     )
+
+
+def make_clip(name: str, dtype=jnp.float32) -> CLIP:
+    """Build a CLIP ViT from a backbone name ('ViT-B/32', 'openclip/ViT-B-32/...')."""
+    from feed_forward_vqgan_clip_tpu.registry import CLIP_VIT_CONFIGS
+
+    act = "quick_gelu"
+    arch = name
+    if name.startswith("openclip/"):
+        _, arch, _tag = name.split("/", 2)
+        act = "quick_gelu" if arch.endswith("-quickgelu") else "gelu"
+        arch = openclip_vit_canonical(arch.replace("-quickgelu", ""))
+    if arch not in CLIP_VIT_CONFIGS:
+        raise ValueError(
+            f"unknown CLIP ViT arch {arch!r} (from {name!r}); known archs: "
+            f"{sorted(CLIP_VIT_CONFIGS)}. For archs outside this table, pass "
+            "clip_model_path — the architecture is then sniffed from the "
+            "checkpoint's shapes (load_perceptor)."
+        )
+    return make_clip_from_config(CLIP_VIT_CONFIGS[arch], act=act, dtype=dtype)

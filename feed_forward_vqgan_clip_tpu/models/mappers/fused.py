@@ -7,8 +7,11 @@ Everything else — other mapper families, unaligned shapes, CPU — falls back 
 the stock `module.apply`, so this layer can be used unconditionally by the
 inference entry points (infer.Generator, serve.Predictor, __graft_entry__).
 
-The fused path is inference-only (the kernel defines no VJP); training keeps the
-XLA module path. Numerical parity between the two paths is pinned by
+Training has its own fused path: `train/loop.py` routes Mixer forwards through
+`fused_mixer_block_train` (a custom_vjp pairing the fused forward with Pallas
+backward kernels — see ops/pallas/mixer_block.py). This module's
+`make_mapper_apply` is the INFERENCE dispatcher (it picks the no-residual-save
+kernels); numerical parity between fused and stock paths is pinned by
 tests/test_fused_mixer.py.
 """
 

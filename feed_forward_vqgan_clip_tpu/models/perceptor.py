@@ -39,6 +39,63 @@ class Perceptor(NamedTuple):
         return jnp.exp(self.params["params"]["logit_scale"])
 
 
+def _load_openclip(name: str, path: Optional[str], dtype) -> Perceptor:
+    """`openclip/<arch>/<pretrained>` names (reference main.py:1323-1329 hands
+    these to open_clip, which knows every arch by name): RN archs route to the
+    ModifiedResNet towers, known ViT archs to the registry configs, and any
+    other arch is constructed from the checkpoint's own shapes when a path is
+    given (io/torch_import.sniff_clip_arch)."""
+    from feed_forward_vqgan_clip_tpu.models.clip_resnet import load_clip_resnet
+    from feed_forward_vqgan_clip_tpu.models.clip_vit import (
+        make_clip_from_config,
+        openclip_vit_canonical,
+    )
+    from feed_forward_vqgan_clip_tpu.registry import (
+        CLIP_RESNET_CONFIGS,
+        CLIP_VIT_CONFIGS,
+    )
+
+    parts = name.split("/")
+    if len(parts) < 3:
+        raise ValueError(
+            f"openclip perceptor name {name!r} must look like "
+            "'openclip/<arch>/<pretrained_tag>' (main.py:1323-1329 parity)"
+        )
+    arch_raw = parts[1]
+    act = "quick_gelu" if arch_raw.endswith("-quickgelu") else "gelu"
+    arch = arch_raw.replace("-quickgelu", "")
+    if arch in CLIP_RESNET_CONFIGS:
+        return load_clip_resnet(arch, path, dtype=dtype, act=act, display_name=name)
+    if openclip_vit_canonical(arch) in CLIP_VIT_CONFIGS:
+        return _load_clip_vit(name, path, dtype)
+    if path:
+        from feed_forward_vqgan_clip_tpu.io.torch_import import (
+            convert_clip_resnet,
+            convert_clip_vit,
+            load_torch_state_dict,
+            sniff_clip_arch,
+        )
+
+        sd = load_torch_state_dict(path)
+        family, cfg = sniff_clip_arch(sd)
+        if family == "resnet":
+            return load_clip_resnet(
+                arch, path, dtype=dtype, act=act, display_name=name, arch_config=cfg
+            )
+        module = make_clip_from_config(cfg, act=act, dtype=dtype)
+        return Perceptor(
+            module=module, params=convert_clip_vit(sd), name=name,
+            size=CLIP_SIZE.get(name, cfg["image_size"]),
+            dim=CLIP_DIM.get(name, cfg["embed_dim"]),
+        )
+    raise ValueError(
+        f"unknown openclip arch {arch!r} with no clip_model_path: known ViT "
+        f"archs {sorted(CLIP_VIT_CONFIGS)}, RN archs {sorted(CLIP_RESNET_CONFIGS)}; "
+        "any other arch works when clip_model_path points at its checkpoint "
+        "(the architecture is sniffed from the weights' shapes)."
+    )
+
+
 def load_perceptor(name: str, path: Optional[str] = None, dtype=jnp.bfloat16) -> Perceptor:
     if name.startswith("cloob"):
         from feed_forward_vqgan_clip_tpu.models.cloob import load_cloob
@@ -48,7 +105,12 @@ def load_perceptor(name: str, path: Optional[str] = None, dtype=jnp.bfloat16) ->
         from feed_forward_vqgan_clip_tpu.models.clip_resnet import load_clip_resnet
 
         return load_clip_resnet(name, path, dtype=dtype)
+    if name.startswith("openclip/"):
+        return _load_openclip(name, path, dtype)
+    return _load_clip_vit(name, path, dtype)
 
+
+def _load_clip_vit(name: str, path: Optional[str], dtype) -> Perceptor:
     from feed_forward_vqgan_clip_tpu.models.clip_vit import make_clip
 
     module = make_clip(name, dtype=dtype)

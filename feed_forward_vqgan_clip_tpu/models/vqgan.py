@@ -200,6 +200,13 @@ if _FAST_UPSAMPLE_MODE in ("false", ""):
     _FAST_UPSAMPLE_MODE = "0"
 if _FAST_UPSAMPLE_MODE == "true":
     _FAST_UPSAMPLE_MODE = "1"
+if _FAST_UPSAMPLE_MODE not in ("0", "1", "2"):
+    raise ValueError(
+        f"FFVC_FAST_UPSAMPLE={os.environ['FFVC_FAST_UPSAMPLE']!r} is not a "
+        "recognized upsample mode; use 0 (reference NN-2x + 3x3 conv graph), "
+        "1 (phase-decomposed, measured slower on v5e), or 2 (lhs-dilated "
+        "transposed conv, default)."
+    )
 
 
 class Upsample(nn.Module):
@@ -249,6 +256,12 @@ class Upsample(nn.Module):
             mode = "0"
         else:
             mode = str(self.fast)
+        if mode not in ("0", "1", "2"):
+            raise ValueError(
+                f"Upsample fast={self.fast!r} resolves to unrecognized mode "
+                f"{mode!r}; use 0 (reference graph), 1 (phase-decomposed), "
+                "or 2 (lhs-dilated transposed conv, default)."
+            )
         dn = ("NHWC", "HWIO", "NHWC")
         if mode == "0":
             u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2).astype(self.dtype)

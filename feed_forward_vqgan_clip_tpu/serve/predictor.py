@@ -68,9 +68,11 @@ class Predictor:
             try:
                 mapper, params, cfg, noise = ckpt_io.load_model(path)
             except NotImplementedError as e:
-                # e.g. the xtransformer zoo file, whose torch conversion is gated
-                # — serve the loadable models instead of dying (predict.py never
-                # faced this; its MODELS list was all-loadable)
+                # an unknown model_type from a future/foreign checkpoint (all 4
+                # reference families — mixer/vitgan/simple_vitgan/xtransformer —
+                # convert; io/checkpoint.py dispatches them): serve the loadable
+                # models instead of dying (predict.py never faced this; its
+                # MODELS list was all-loadable)
                 log.warning("skipping %s: %s", name, e)
                 continue
             self.models[name] = (mapper, params, cfg, noise)

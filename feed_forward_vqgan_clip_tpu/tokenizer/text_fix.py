@@ -141,31 +141,36 @@ def _decode_with_repairs(byts: bytes):
 
 
 def _fix_mojibake_run(s: str) -> str:
-    """Mojibake repair on a sloppy-1252-encodable run (every char < 0x100 or
-    a cp1252 high-byte image)."""
-    for _ in range(3):  # double-mojibake unwinds one layer per pass
-        if not (_MOJIBAKE_RE.search(s) or _ALTERED_HINT_RE.search(s)):
-            break
-        byts = _encode_sloppy_1252(s)
-        fixed = _decode_with_repairs(byts)
-        if fixed is None or fixed == s:
-            break
-        s = fixed
-    return s
+    """ONE mojibake-repair pass on a sloppy-1252-encodable run (every char
+    < 0x100 or a cp1252 high-byte image). The caller re-segments between
+    passes: a repair can itself introduce chars >0xFF (U+FFFD from lossy
+    replacement, a decoded astral char), which would make a second encode of
+    the same span raise — re-splitting restores the encodable invariant."""
+    if not (_MOJIBAKE_RE.search(s) or _ALTERED_HINT_RE.search(s)):
+        return s
+    fixed = _decode_with_repairs(_encode_sloppy_1252(s))
+    return s if fixed is None else fixed
 
 
 def _fix_mojibake(s: str) -> str:
     """Characters sloppy-1252 cannot encode (astral emoji, CJK, …) are by
     construction already genuinely decoded — they bound the repairable spans
     (ftfy-style segmentation), so "cafÃ© 😀" still repairs its latin span
-    instead of aborting on the emoji."""
-    if _MOJIBAKE_RE.search(s) is None and _ALTERED_HINT_RE.search(s) is None:
-        return s
-    pieces = _NON1252_SPLIT_RE.split(s)
-    return "".join(
-        _fix_mojibake_run(p) if i % 2 == 0 else p
-        for i, p in enumerate(pieces)
-    )
+    instead of aborting on the emoji. Segmentation is redone on EVERY pass
+    (double-mojibake unwinds one layer per pass) because each pass can decode
+    new >0xFF characters that must bound the next pass's spans."""
+    for _ in range(3):
+        if _MOJIBAKE_RE.search(s) is None and _ALTERED_HINT_RE.search(s) is None:
+            return s
+        pieces = _NON1252_SPLIT_RE.split(s)
+        fixed = "".join(
+            _fix_mojibake_run(p) if i % 2 == 0 else p
+            for i, p in enumerate(pieces)
+        )
+        if fixed == s:
+            break
+        s = fixed
+    return s
 
 
 def _fix_surrogates(s: str) -> str:

@@ -224,6 +224,50 @@ class TestConverterRoundtrip:
         assert jax.tree.all(jax.tree.map(np.array_equal, got, want))
 
 
+class TestArchSniffAndOpenCLIPRouting:
+    """Arbitrary `openclip/<arch>/<tag>` coverage (reference main.py:1323-1329
+    hands any arch to open_clip): known archs resolve from the registry; archs
+    outside it are sniffed from the checkpoint's shapes."""
+
+    def test_sniff_vit_recovers_config(self, rng):
+        sd = TestConverterRoundtrip()._fake_openai_sd(rng)
+        family, cfg = ti.sniff_clip_arch(sd)
+        assert family == "vit"
+        for k in (
+            "image_size", "patch_size", "vision_width", "vision_layers",
+            "embed_dim", "text_width", "text_layers", "vocab_size",
+            "context_length",
+        ):
+            assert cfg[k] == TINY[k], k
+
+    def test_unknown_vit_arch_sniffed_from_checkpoint(self, rng, tmp_path):
+        from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
+
+        sd = TestConverterRoundtrip()._fake_openai_sd(rng)
+        p = tmp_path / "vit_h.pt"
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(p))
+        pc = load_perceptor("openclip/ViT-H-14/laion2b_s32b_b79k", str(p), dtype=jnp.float32)
+        assert pc.module.act == "gelu"  # non-quickgelu tag
+        assert pc.module.image_size == TINY["image_size"]
+        toks = jnp.zeros((1, TINY["context_length"]), jnp.int32).at[:, 1].set(99)
+        imgs = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        te, ie = pc.encode_text(toks), pc.encode_image(imgs)
+        assert te.shape == ie.shape == (1, TINY["embed_dim"])
+        assert np.isfinite(np.asarray(te)).all() and np.isfinite(np.asarray(ie)).all()
+
+    def test_unknown_arch_without_path_is_actionable(self):
+        import pytest
+
+        from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
+
+        with pytest.raises(ValueError, match="clip_model_path"):
+            make_clip("ViT-H/14")
+        with pytest.raises(ValueError, match="sniffed"):
+            load_perceptor("openclip/ViT-H-14/laion2b_s32b_b79k")
+        with pytest.raises(ValueError, match="openclip/<arch>/<pretrained_tag>"):
+            load_perceptor("openclip/justanarch")
+
+
 class TestPatchEmbed:
     def test_matches_nn_conv(self):
         """The reshape+matmul patchify must equal the stride-p nn.Conv it

@@ -212,6 +212,49 @@ class TestRNConverter:
         assert np.isfinite(np.asarray(te)).all() and np.isfinite(np.asarray(ie)).all()
 
 
+class TestOpenCLIPRNRouting:
+    """`openclip/<RN-arch>/<tag>` routes to the ModifiedResNet towers instead of
+    KeyError-ing (reference main.py:1323-1329 accepts any open_clip arch)."""
+
+    def test_rn50_constructs_with_checkpoint(self, rng, tmp_path):
+        from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
+
+        sd = _fake_rn_state_dict(rng)
+        p = tmp_path / "rn.pt"
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(p))
+        pc = load_perceptor("openclip/RN50/yfcc15m", str(p), dtype=jnp.float32)
+        assert isinstance(pc.module, CLIPResNet)
+        assert pc.module.act == "gelu"  # non-quickgelu tag -> exact gelu
+        assert pc.name == "openclip/RN50/yfcc15m" and pc.dim == 1024
+        pc2 = load_perceptor("openclip/RN50-quickgelu/openai", str(p), dtype=jnp.float32)
+        assert pc2.module.act == "quick_gelu"
+
+    def test_unknown_rn_arch_sniffed_from_checkpoint(self, rng, tmp_path):
+        # an RN arch outside CLIP_RESNET_CONFIGS (e.g. RN50x64) builds from the
+        # checkpoint's shapes and applies end to end
+        from feed_forward_vqgan_clip_tpu.models.perceptor import load_perceptor
+
+        sd = _fake_rn_state_dict(rng)
+        p = tmp_path / "rn64.pt"
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(p))
+        pc = load_perceptor("openclip/RN50x64/fake_tag", str(p), dtype=jnp.float32)
+        assert tuple(pc.module.vision_layers) == (1, 1, 1, 1)
+        assert pc.module.image_size == 64 and pc.module.embed_dim == 24
+        toks = jnp.zeros((1, 12), jnp.int32).at[:, 1].set(63)
+        imgs = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+        te, ie = pc.encode_text(toks), pc.encode_image(imgs)
+        assert te.shape == (1, 24) and ie.shape == (1, 24)
+        assert np.isfinite(np.asarray(te)).all() and np.isfinite(np.asarray(ie)).all()
+
+    def test_sniff_rn_recovers_config(self, rng):
+        family, cfg = ti.sniff_clip_arch(_fake_rn_state_dict(rng))
+        assert family == "resnet"
+        assert cfg["vision_layers"] == (1, 1, 1, 1) and cfg["vision_width"] == 16
+        assert cfg["image_size"] == 64 and cfg["embed_dim"] == 24
+        assert cfg["text_width"] == 32 and cfg["text_layers"] == 2
+        assert cfg["vocab_size"] == 64 and cfg["context_length"] == 12
+
+
 class TestCrowsonCLOOB:
     TINY = dict(
         d_embed=8, image_layers=1, image_d_model=16, image_heads=2,

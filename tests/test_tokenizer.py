@@ -192,3 +192,17 @@ class TestTextFix:
         # still repairs (segmented, ftfy-style) instead of aborting
         assert fix_text("cafÃ© 😀") == "café 😀"
         assert fix_text("cafÃ© 😀 donâ€™t") == "café 😀 don't"
+
+    def test_multi_pass_repair_with_over_ff_intermediates(self):
+        # Regression (round-5 advisor): a first repair pass can introduce
+        # chars >0xFF (U+FFFD from lossy replacement, a decoded astral char)
+        # while residual double-mojibake keeps the loop alive; pass 2 used to
+        # raise an uncaught UnicodeEncodeError because spans were segmented
+        # only once. Spans are now re-segmented every pass.
+        from feed_forward_vqgan_clip_tpu.tokenizer.text_fix import fix_text
+
+        # double-mojibake é next to a SUB-lossy sequence: pass 1 yields
+        # "Ã© don�t" (U+FFFD is unencodable) and pass 2 must still unwind Ã©
+        assert fix_text("Ã\x83Â© donâ€\x1at") == "é don�t"
+        # mojibake'd emoji (decodes to astral on pass 1) + double-mojibake é
+        assert fix_text("ð\x9f\x98\x80 Ã\x83Â©") == "😀 é"

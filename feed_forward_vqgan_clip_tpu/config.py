@@ -63,6 +63,10 @@ DEFAULTS: Dict[str, Any] = {
     "normalize_input": False,
     "use_ema": False,
     "ema_decay": 0.995,
+    # torch_ema's default use_num_updates=True warmup ramp, on in the reference
+    # (main.py:520-525): decay_t = min(ema_decay, (1+n)/(10+n)). False pins the
+    # fixed decay from step 0 (framework extension).
+    "ema_warmup": True,
     "use_wandb": False,
     "wandb_project": "feed_forward_vqgan_clip",
     "wandb_entity": None,

@@ -470,6 +470,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         state = make_train_state(
             params, tx,
             use_ema=bool(cfg.get("use_ema")), ema_decay=float(cfg.get("ema_decay")),
+            ema_warmup=bool(cfg.get("ema_warmup", True)),
             step=step, ema_params=ema_params,
         )
         # optimizer counters / fresh scalars are not params-derived -> replicate
@@ -553,9 +554,11 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
             drop_last=False,
         )
     # noise rows must be IDENTICAL on every process (replicated placement; the
-    # reference broadcasts the bank + rank-0-identical np.random draws) -> seed
-    # the host rng the same way everywhere
-    host_rng = np.random.default_rng(seed)
+    # reference broadcasts the bank + rank-0-identical np.random draws). The
+    # draw is keyed on (seed, step) rather than a sequential host rng so an
+    # interrupted+resumed run sees the SAME row sequence as an uninterrupted
+    # one — a conscious fix of the reference's unseeded np.random.permutation
+    # (main.py:689-694), like the prior-shard shuffle fix (PARITY.md).
 
     n_data = mesh.shape["data"]
     n_proc = jax.process_count()
@@ -574,13 +577,15 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
             return jax.device_put(local_rows, data_sharding)
         return jax.make_array_from_process_local_data(data_sharding, local_rows)
 
-    def batch_for(ids):
+    def batch_for(ids, step_):
         b = {
             "inp": _global_batch(inp_all[ids]),
             "out": _global_batch(out_all[ids]),
         }
         if noise_dim and nb_noise is not None and noise_bank is not None:
-            rows = host_rng.permutation(len(noise_bank))[:repeat]
+            rows = np.random.default_rng((seed, step_)).permutation(
+                len(noise_bank)
+            )[:repeat]
             b["noise"] = jax.device_put(noise_bank[rows], meshlib.replicated(mesh))
         return b
 
@@ -629,10 +634,17 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     saver = _AsyncSaver()  # background checkpoint writer (one write in flight)
     with mesh:
         for epoch in range(epoch0, epochs):
-            for ids in _epoch_ids(epoch):
+            epoch_batches = _epoch_ids(epoch)
+            # `step` counts completed steps globally and every epoch yields the
+            # same batch count, so on resume skip the batches this epoch already
+            # consumed before the checkpoint — the resumed run replays the
+            # uninterrupted data sequence exactly (the reference instead
+            # restarts the saved epoch from batch 0, main.py:713-716)
+            done_here = step - epoch * len(epoch_batches)
+            for ids in epoch_batches[max(done_here, 0):]:
                 if profile_window and step == profile_window[0] and primary:
                     jax.profiler.start_trace(profile_dir)
-                batch = batch_for(ids)
+                batch = batch_for(ids, step)
                 step_key = jax.random.fold_in(root_key, step)
                 state, metrics = train_step(state, fz, batch, step_key)
                 pending.append((step, metrics))
@@ -752,7 +764,12 @@ def _save_all(folder, cfg, state, step, epoch, noise_bank, primary=True, saver=N
     primary writes files. The device->host gather is synchronous (numpy copies,
     so no donated-buffer hazard); with `saver` the file writes (msgpack
     serialize + disk IO, the slow part at flagship scale) run on a background
-    thread instead of stalling the step loop."""
+    thread instead of stalling the step loop.
+
+    The persisted step counter is state.step — the number of COMPLETED updates
+    in the saved params — not the caller's step label (which at log-interval
+    saves is one behind): resume must not re-apply an already-applied step."""
+    step = int(state.step)
     params = meshlib.host_tree(state.params)
     ema = meshlib.host_tree(state.ema_params) if state.ema_params is not None else None
     opt = meshlib.host_tree(state.opt_state)

@@ -4,6 +4,17 @@ Replaces torch Adam + torch_ema (/root/reference/main.py:591-616): one pytree
 struct, donated through the jitted step. The reference's EMA-updates-on-rank-0-only
 quirk (main.py:843-844) is moot here: params are replicated, so the single EMA
 update is bitwise the rank-0 behavior.
+
+EMA decay follows torch_ema's default `use_num_updates=True` warmup ramp
+(main.py:520-525 constructs ExponentialMovingAverage without disabling it):
+decay_t = min(ema_decay, (1 + n) / (10 + n)) where n counts EMA updates —
+the shadow tracks the params closely early on (first update blends ~82% of the
+live params) and reaches the configured 0.995 only after ~1790 steps.
+`ema_warmup: false` (framework extension) pins the fixed decay instead.
+One conscious deviation: the reference resets n to 0 on EVERY resume (it
+rebuilds ExponentialMovingAverage fresh, main.py:604-615, so an interrupted
+run re-warms its EMA); here n = TrainState.step, which persists across resume —
+interrupted and uninterrupted runs see the same decay schedule (PARITY.md).
 """
 
 from typing import Any, Optional
@@ -25,14 +36,21 @@ class TrainState:
     avg_loss: Any = None
     tx: optax.GradientTransformation = struct.field(pytree_node=False, default=None)
     ema_decay: float = struct.field(pytree_node=False, default=0.995)
+    ema_warmup: bool = struct.field(pytree_node=False, default=True)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         if self.ema_params is not None:
-            d = self.ema_decay
+            d = jnp.float32(self.ema_decay)
+            if self.ema_warmup:
+                # torch_ema update(): num_updates += 1, then
+                # min(decay, (1+n)/(10+n)) — n here is the post-increment count
+                n = (self.step + 1).astype(jnp.float32)
+                d = jnp.minimum(d, (1.0 + n) / (10.0 + n))
             new_ema = jax.tree.map(
-                lambda e, p: d * e + (1.0 - d) * p, self.ema_params, new_params
+                lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype),
+                self.ema_params, new_params,
             )
         else:
             new_ema = None
@@ -136,6 +154,7 @@ def make_train_state(
     *,
     use_ema: bool = False,
     ema_decay: float = 0.995,
+    ema_warmup: bool = True,
     step: int = 0,
     ema_params=None,
 ) -> TrainState:
@@ -153,4 +172,5 @@ def make_train_state(
         avg_loss=jnp.float32(1.0),
         tx=tx,
         ema_decay=float(ema_decay),
+        ema_warmup=bool(ema_warmup),
     )

@@ -116,6 +116,26 @@ class TestTrainE2E:
         H = jax.random.normal(jax.random.PRNGKey(0), (1, 32))
         assert np.asarray(gen.generate(H, nb_repeats=3, seed=0)).shape == (3, 8, 8, 3)
 
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path, feature_data):
+        """Interrupted+resumed training equals the uninterrupted run bitwise.
+
+        Pins the (seed, step)-keyed noise-bank row draw (train/loop.batch_for)
+        plus step-keyed aug rngs and exact opt/EMA checkpoint roundtrips — the
+        reference is NOT resume-reproducible (unseeded np.random.permutation,
+        main.py:689-694); this is a conscious fix, see PARITY.md."""
+        kw = dict(
+            path=feature_data, noise_dim=8, nb_noise=4, use_ema=True,
+            log_interval=100,
+        )
+        a = train(_base_cfg(tmp_path, folder=str(tmp_path / "a"), max_steps=4, **kw))
+        train(_base_cfg(tmp_path, folder=str(tmp_path / "b"), max_steps=2, **kw))
+        b = train(_base_cfg(tmp_path, folder=str(tmp_path / "b"), max_steps=4, **kw))
+        assert int(a.step) == int(b.step) == 4
+        for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        for ea, eb in zip(jax.tree.leaves(a.ema_params), jax.tree.leaves(b.ema_params)):
+            np.testing.assert_array_equal(np.asarray(ea), np.asarray(eb))
+
     def test_mesh_2d_model_axis(self, tmp_path, feature_data, monkeypatch):
         # 4-way data x 2-way tensor parallel over the 8 virtual devices
         cfg = _base_cfg(

@@ -15,6 +15,7 @@ import pytest
 from feed_forward_vqgan_clip_tpu.train.state import (
     _scale_by_adam_cast_state,
     make_optimizer,
+    make_train_state,
 )
 
 
@@ -107,6 +108,57 @@ def test_bf16_opt_state_msgpack_roundtrip(tmp_path):
 def test_bad_opt_dtype_raises(bad):
     with pytest.raises(TypeError):
         make_optimizer(1e-3, opt_dtype=bad)
+
+
+class TestEMAWarmup:
+    """torch_ema `use_num_updates=True` decay ramp (the reference's default,
+    main.py:520-525): update t applies decay_t = min(decay, (1+t)/(10+t)),
+    t counting EMA updates from 1. Oracle below is torch_ema's update() rule
+    restated in numpy (s -= (1-d)*(s-p)); torch_ema itself isn't in the image."""
+
+    def _run(self, steps, *, ema_decay, ema_warmup):
+        p = _params()
+        tx = make_optimizer(1e-2, opt_dtype="float32")
+        state = make_train_state(
+            p, tx, use_ema=True, ema_decay=ema_decay, ema_warmup=ema_warmup
+        )
+        # numpy mirror of params + torch_ema shadow
+        shadow = {k: np.asarray(v).copy() for k, v in p.items()}
+        for i in range(steps):
+            g = _grads(i)
+            state = state.apply_gradients(g)
+            d = ema_decay
+            if ema_warmup:
+                d = min(d, (1 + (i + 1)) / (10 + (i + 1)))
+            for k in shadow:
+                live = np.asarray(state.params[k])
+                shadow[k] = shadow[k] - (1.0 - d) * (shadow[k] - live)
+        return state, shadow
+
+    def test_warmup_matches_torch_ema_rule(self):
+        state, shadow = self._run(25, ema_decay=0.995, ema_warmup=True)
+        for k in shadow:
+            np.testing.assert_allclose(
+                np.asarray(state.ema_params[k]), shadow[k], rtol=1e-6, atol=1e-7
+            )
+
+    def test_warmup_off_is_fixed_decay(self):
+        state, shadow = self._run(5, ema_decay=0.9, ema_warmup=False)
+        for k in shadow:
+            np.testing.assert_allclose(
+                np.asarray(state.ema_params[k]), shadow[k], rtol=1e-6, atol=1e-7
+            )
+
+    def test_early_warmup_tracks_params_closely(self):
+        # first update blends ~82% live params (decay 2/11): the warmed-up EMA
+        # must sit far closer to the live params than the fixed-0.995 one
+        warm, _ = self._run(3, ema_decay=0.995, ema_warmup=True)
+        fixed, _ = self._run(3, ema_decay=0.995, ema_warmup=False)
+        gap = lambda s: sum(
+            float(np.abs(np.asarray(s.ema_params[k]) - np.asarray(s.params[k])).sum())
+            for k in s.params
+        )
+        assert gap(warm) < 0.2 * gap(fixed)
 
 
 def test_save_pytree_is_atomic(tmp_path):

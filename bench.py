@@ -59,6 +59,13 @@ A100_EAGER_UTIL_MID = 0.20  # mid-range measured eager utilization, reported alo
 # Frozen reference-pipeline FLOP budget (see module docstring). Do NOT recompute
 # from the live graph: the anchor must stay pinned to the reference's compute.
 REF_PIPELINE_FLOPS_PER_IMAGE = 433.0e9
+# Train-side frozen anchor (round 5), same methodology: XLA cost-model FLOPs of
+# the PARITY train step (fwd+bwd+Adam, every framework optimization disabled —
+# FFVC_FUSED_TRAIN=0, FFVC_FAST_UPSAMPLE=0, use_pallas=False) at the example
+# geometry B=8/cutn=8/224px/ViT-B/32/mixer-32x1024/f16-16384, measured once by
+# benchmarks/measure_train_flops.py: 9.5078e12 per step. The reference's eager
+# step runs the same matmuls/convs fwd+bwd, so this is its budget too.
+REF_TRAIN_FLOPS_PER_IMAGE = 9.5078e12 / 8
 # Default batch 128: measured 430.3 img/s vs 422.5 at B=64 (round 4) — the
 # skewed mixer's 2-boundary-step cost and the decoder's conv efficiency both
 # amortize slightly better; latency/train modes are unaffected.
@@ -305,13 +312,16 @@ def train_bench():
             state, m = step_fn(state, fz, batch, jax.random.PRNGKey(i))
         float(m["loss"])
         dt = (time.perf_counter() - t0) / K
+    a100_train = A100_TF32_PEAK * A100_EAGER_UTIL / REF_TRAIN_FLOPS_PER_IMAGE
+    a100_train_mid = A100_TF32_PEAK * A100_EAGER_UTIL_MID / REF_TRAIN_FLOPS_PER_IMAGE
     print(
         json.dumps(
             {
                 "metric": "train_step_images_per_sec_single_chip",
                 "value": round(bs / dt, 2),
                 "unit": "img/s",
-                "vs_baseline": None,
+                "vs_baseline": round(bs / dt / a100_train, 3),
+                "vs_baseline_util20": round(bs / dt / a100_train_mid, 3),
                 "train_step_ms": round(dt * 1e3, 1),
             }
         ),

@@ -36,6 +36,7 @@ before that fix). Output matches the XLA gather forward to ~1e-5 absolute
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -163,6 +164,123 @@ def _kernel(origins_ref, mats_ref, img_ref, out_ref, win_ref, sem, *,
         out_ref[0, cc] = jnp.sum(hxq * tmp, axis=1).reshape(t, wo)
 
 
+def _kernel_pipe(origins_ref, mats_ref, img_ref, out_ref, win_scr, hy_scr,
+                 hx_scr, sems, *, tile, cand, c, h, w, wo, border, align,
+                 nty, nsteps):
+    """Skewed _kernel (bf16 mode): step j contracts band j-1's dots from the
+    2-slot hat/window scratch while BUILDING band j's hats — the hy/hx build
+    is the one un-overlapped VPU prologue of the unskewed kernel (round-4
+    ROADMAP item; the in-band 2-half split died on VMEM pressure, this
+    cross-band skew adds only the second scratch slot). Per-band math and
+    rounding are identical to _kernel's bf16 mode (hy stored bf16 exactly as
+    the unskewed cast, hx stored f32), so outputs are bit-identical.
+
+    Boundary steps (grid = nsteps = b*nty + 1): step 0 builds band 0 and
+    writes garbage dots into out block 0, overwritten at step 1 (same block
+    index, the mixer-pipe trick); step nsteps-1 re-builds the last band into
+    an unread slot."""
+    j = pl.program_id(0)
+    t = tile
+    q = t * wo
+    w_pad = win_scr.shape[-1]
+
+    @pl.when(j == 0)
+    def _init():  # step 0's dots chew zeros (NaN-free garbage into block 0)
+        hy_scr[1] = jnp.zeros_like(hy_scr[1])
+        hx_scr[1] = jnp.zeros_like(hx_scr[1])
+        win_scr[1] = jnp.zeros_like(win_scr[1])
+
+    # ---- prep: band jb = min(j, n-1) — start its window DMA first so it
+    # flies under this step's compute
+    jb = jnp.minimum(j, nsteps - 2)
+    bb = jb // nty
+    ty = jb % nty
+    oy = origins_ref[jb] * align
+
+    def _win_dma(slot, b_idx, oy_idx):
+        return pltpu.make_async_copy(
+            img_ref.at[b_idx, :, pl.ds(oy_idx, cand), :],
+            win_scr.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(j < nsteps - 1)
+    def _start():
+        _win_dma(j % 2, bb, oy).start()
+
+    # band jb's sample coordinates (small VPU work, needed by both builds)
+    m00, m01, m02 = mats_ref[bb, 0], mats_ref[bb, 1], mats_ref[bb, 2]
+    m10, m11, m12 = mats_ref[bb, 3], mats_ref[bb, 4], mats_ref[bb, 5]
+    m20, m21, m22 = mats_ref[bb, 6], mats_ref[bb, 7], mats_ref[bb, 8]
+    qyf = jax.lax.broadcasted_iota(jnp.int32, (t, wo), 0).astype(jnp.float32) + (
+        ty * t
+    ).astype(jnp.float32)
+    qxf = jax.lax.broadcasted_iota(jnp.int32, (t, wo), 1).astype(jnp.float32)
+    den = m20 * qxf + m21 * qyf + m22
+    den = jnp.where(jnp.abs(den) < 1e-8, jnp.where(den < 0, -1e-8, 1e-8), den)
+    sx = jnp.clip((m00 * qxf + m01 * qyf + m02) / den, -1e6, 1e6)
+    sy = jnp.clip((m10 * qxf + m11 * qyf + m12) / den, -1e6, 1e6)
+    if border:
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+    ry = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cand), 2).astype(
+        jnp.float32
+    ) + oy.astype(jnp.float32)
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w_pad), 2).astype(jnp.float32)
+
+    # ---- compute: band j-1's dots from the previous slot. The slot-(j-1)
+    # window DMA was started a full step ago; builds for band jb are emitted
+    # BETWEEN the channel dots so their VPU work co-issues under the MXU.
+    pv = (j - 1) % 2
+    dims = (((1,), (0,)), ((), ()))
+    hyp = hy_scr[pv]
+    hxp = hx_scr[pv]
+
+    @pl.when(j > 0)
+    def _wait():
+        # reconstruct the descriptor started last step; only the semaphore
+        # matters for wait()
+        jpb = jnp.maximum(j - 1, 0)
+        _win_dma(pv, jpb // nty, origins_ref[jpb] * align).wait()
+
+    tmp0 = jax.lax.dot_general(
+        hyp, win_scr[pv, 0], dims, preferred_element_type=jnp.float32
+    )
+    hy_scr[j % 2] = jnp.maximum(
+        0.0, 1.0 - jnp.abs(sy[:, :, None] - ry)
+    ).reshape(q, cand).astype(hy_scr.dtype)
+    out_ref[0, 0] = (
+        jnp.sum(hxp * tmp0, axis=1).reshape(t, wo).astype(out_ref.dtype)
+    )
+    tmp1 = jax.lax.dot_general(
+        hyp, win_scr[pv, 1], dims, preferred_element_type=jnp.float32
+    )
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] - px))
+    if not border:
+        hx = jnp.where(px >= w, 0.0, hx)
+    hx_scr[j % 2] = hx.reshape(q, w_pad)
+    out_ref[0, 1] = (
+        jnp.sum(hxp * tmp1, axis=1).reshape(t, wo).astype(out_ref.dtype)
+    )
+    tmp2 = jax.lax.dot_general(
+        hyp, win_scr[pv, 2], dims, preferred_element_type=jnp.float32
+    )
+    out_ref[0, 2] = (
+        jnp.sum(hxp * tmp2, axis=1).reshape(t, wo).astype(out_ref.dtype)
+    )
+
+
+_FWD_PIPE_ENV = os.environ.get("FFVC_WARP_FWD_PIPE", "")
+
+
+def _fwd_pipe_enabled(bf16, c, nbands):
+    if _FWD_PIPE_ENV in ("1", "true"):
+        return bf16 and c == 3
+    if _FWD_PIPE_ENV in ("0", "false"):
+        return False
+    return bf16 and c == 3 and nbands >= 2
+
+
 @functools.partial(
     jax.jit, static_argnames=("out_hw", "tile", "cand", "border", "interpret")
 )
@@ -192,6 +310,39 @@ def warp_forward(img, m, origins, *, out_hw, tile=32, cand=224, border=False,
     w_pad = -(-w // 128) * 128
     if w_pad != w:
         it = jnp.pad(it, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)))
+
+    if _fwd_pipe_enabled(bf16, c, b * nty):
+        q = t * wo
+
+        def _out_idx(j, o_, m_):
+            p = jnp.maximum(j - 1, 0)
+            return (p // nty, 0, p % nty, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * nty + 1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, c, t, wo), _out_idx),
+            scratch_shapes=[
+                pltpu.VMEM((2, c, cand, w_pad), dt),
+                pltpu.VMEM((2, q, cand), dt),
+                pltpu.VMEM((2, q, w_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_pipe, tile=t, cand=cand, c=c, h=h, w=w, wo=wo,
+                border=border, align=align, nty=nty, nsteps=b * nty + 1,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, c, ho, wo), dt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(origins.astype(jnp.int32), mats, it)
+        return jnp.transpose(out, (0, 2, 3, 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -214,6 +214,16 @@ def make_train_step(
     mapper_train_apply = make_mapper_train_apply(
         mapper, fused=False if tp_active else None
     )
+    # CLIP image encode of the cutouts: dispatcher for the Pallas fused-MLP
+    # tower (models/clip_fused.py). Default is the XLA module path — the
+    # fused path measured SLOWER at train shapes (clip_fused.py docstring);
+    # FFVC_FUSED_CLIP=1 opts in for A/B. TP keeps the module path like the
+    # mapper (whole-weight kernels have no partitioning rule).
+    from feed_forward_vqgan_clip_tpu.models.clip_fused import make_clip_image_apply
+
+    clip_image_apply = make_clip_image_apply(
+        perceptor.module, fused=False if tp_active else None
+    )
     # ---- data-parallel cutout/augment stage. pallas_call has no GSPMD
     # partitioning rule: left inside a plain sharded jit on a pod, the warp
     # kernels would be computed on the gathered GLOBAL batch by every device.
@@ -247,6 +257,20 @@ def make_train_step(
                 in_specs=(P(), P("data")), out_specs=P("data"),
                 check_vma=False,
             )(params, xin)
+
+        _clip_apply_local = clip_image_apply
+
+        def clip_image_apply(cv, xin):  # noqa: F811 - deliberate rebind
+            # the image encode is row-independent, so partitioning the
+            # cutn-major crop rows over 'data' (a relayout of the cutout
+            # output) computes the identical embeddings; frozen params are
+            # replicated in, and their cotangents are zero (no psum needed —
+            # value_and_grad never differentiates wrt fz)
+            return jax.shard_map(
+                _clip_apply_local, mesh=mesh,
+                in_specs=(P(), P("data")), out_specs=P("data"),
+                check_vma=False,
+            )(cv, xin)
 
     def cut_stage(kc, xr):
         if not data_par:
@@ -320,7 +344,7 @@ def make_train_step(
         key, kc = jax.random.split(key)
         x = cut_stage(kc, xr.astype(aug_dtype))  # (cutn*repeat*bs, h, w, 3)
         x = (x - mean.astype(aug_dtype)) / std.astype(aug_dtype)
-        embed = perceptor.module.apply(fz["clip"], x, method=perceptor.module.encode_image)
+        embed = clip_image_apply(fz["clip"], x)
         embed = normalize(embed.astype(jnp.float32))
 
         H = normalize(jnp.tile(out_feats, (cutn, 1)))  # (cutn*repeat*bs, dim)

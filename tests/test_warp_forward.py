@@ -168,6 +168,37 @@ def test_bf16_forward_mode(kind):
     )
 
 
+@pytest.mark.parametrize("kind", ["affine", "projective"])
+def test_pipe_matches_unskewed_bitwise(kind, monkeypatch):
+    """The skewed (cross-band pipelined) bf16 forward kernel must be
+    BIT-identical to the unskewed bf16 kernel — same per-band math, only the
+    cross-band schedule differs."""
+    from feed_forward_vqgan_clip_tpu.ops.pallas import warp_forward as WF
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random(size=(2, 64, 64, 3)), jnp.bfloat16)
+    key = jax.random.PRNGKey(7)
+    m = (
+        _rot_trans_mats(key, 2, 64, 64)
+        if kind == "affine"
+        else _pe_mats(key, 2, 64, 64, distortion=0.3)
+    )
+    border = kind == "affine"
+    cand = WF.pick_fwd_cand(32, kind if kind == "affine" else "proj", 64, 64)
+    origins, _ = WF.forward_plan(m, 64, (64, 64), 32, cand, border, align=16)
+    run = WF.warp_forward.__wrapped__  # bypass the jit cache (global toggle)
+
+    monkeypatch.setattr(WF, "_FWD_PIPE_ENV", "1")
+    got = run(img, m, origins, out_hw=(64, 64), tile=32, cand=cand,
+              border=border, interpret=True)
+    monkeypatch.setattr(WF, "_FWD_PIPE_ENV", "0")
+    want = run(img, m, origins, out_hw=(64, 64), tile=32, cand=cand,
+               border=border, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+
 def _crop_oracle(x, x0, y0, cw, ch, out_size):
     """The pre-round-4 _crop_resize: explicit linspace grid + grid_sample."""
     b = x.shape[0]

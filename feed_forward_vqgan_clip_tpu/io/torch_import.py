@@ -630,6 +630,52 @@ def convert_vitgan_generator(sd: Dict[str, np.ndarray], blocks: int) -> Dict[str
     return {"params": params}
 
 
+def convert_vitgan_discriminator(sd: Dict[str, np.ndarray], blocks: int) -> Dict[str, Any]:
+    """Reference VitGAN Discriminator state dict -> params (vitgan.py:307-357
+    naming: project_patches, cls_token, pos_emb1D, Transformer_Encoder.blocks.N
+    with plain LayerNorms and the discriminator L2 attention, mlp_head.{0,1}).
+
+    `init_spect_norm` is seeded from the LOADED to_qkv weight's max singular
+    value. torch's attribute keeps the value computed from the pre-load RANDOM
+    init (vitgan.py:69-71 runs in __init__, and the attribute is not part of
+    the state dict), which is construction-RNG-dependent and unreproducible —
+    this deterministic reading is the documented deviation (see
+    models/mappers/vitgan.DiscriminatorAttention)."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    params: Dict[str, Any] = {
+        "project_patches": _dense(sd, "project_patches"),
+        "cls_token": sd["cls_token"],
+        "pos_emb1D": sd["pos_emb1D"],
+        "head_norm": _norm(sd, "mlp_head.0"),
+        "head": _dense(sd, "mlp_head.1"),
+    }
+    for i in range(blocks):
+        prefix = f"Transformer_Encoder.blocks.{i}"
+        qkv = linear_kernel(sd[f"{prefix}.attn.to_qkv.weight"])
+        params[f"block_{i}"] = {
+            "norm1": _norm(sd, f"{prefix}.norm1"),
+            "norm2": _norm(sd, f"{prefix}.norm2"),
+            "attn": {
+                "to_qkv_kernel": qkv,
+                "init_spect_norm": np.linalg.svd(qkv, compute_uv=False)[0].astype(
+                    np.float32
+                ),
+                "w_out": _dense(sd, f"{prefix}.attn.w_out"),
+            },
+            "mlp": {
+                "linear1": _dense(sd, f"{prefix}.mlp.linear1"),
+                "linear2": _dense(sd, f"{prefix}.mlp.linear2"),
+            },
+        }
+    return {"params": params}
+
+
+def convert_sine_layer(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference SineLayer state dict (vitgan.py:196-218: one nn.Linear) ->
+    params for models.mappers.vitgan.SineLayer."""
+    return {"params": {"linear": _dense({k: np.asarray(v, np.float32) for k, v in sd.items()}, "linear")}}
+
+
 def convert_xtransformer(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, Any]:
     """Reference XTransformer state dict (lucidrains x-transformers==0.19.1
     internals, /root/reference/transformer.py:12-24) -> params for

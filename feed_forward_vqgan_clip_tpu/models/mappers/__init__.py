@@ -6,8 +6,11 @@ import jax.numpy as jnp
 
 from feed_forward_vqgan_clip_tpu.models.mappers.mixer import Mixer  # noqa: F401
 from feed_forward_vqgan_clip_tpu.models.mappers.vitgan import (  # noqa: F401
+    Discriminator,
     Generator,
     SimpleGenerator,
+    SineLayer,
+    init_discriminator_spectral_norms,
 )
 from feed_forward_vqgan_clip_tpu.models.mappers.xtransformer import XTransformer  # noqa: F401
 from feed_forward_vqgan_clip_tpu.registry import CLIP_DIM

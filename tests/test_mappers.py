@@ -141,3 +141,76 @@ class TestFactory:
         x = jnp.asarray(rng.normal(size=(2, 512)), jnp.float32)
         params = m.init(jax.random.PRNGKey(0), x)
         assert m.apply(params, x).shape == (2, 4, 4, 8)
+
+
+class TestVitGANAuxParity:
+    """The reference module's auxiliary classes (vitgan.py:196-357): SineLayer,
+    and the Discriminator stack (L2/cdist attention with spectral renorm,
+    DEncoderBlock, overlapping-patch tokenizer with the .view reinterpretation
+    quirk). Dead code from `train`'s perspective but part of the public
+    surface; the torch reference is the oracle."""
+
+    def test_sine_layer_matches_reference(self, rng):
+        from vitgan import SineLayer as TorchSineLayer
+
+        tl = TorchSineLayer(6, 10, is_first=False, omega_0=30).eval()
+        x = rng.normal(size=(3, 6)).astype(np.float32)
+        from feed_forward_vqgan_clip_tpu.io.torch_import import convert_sine_layer
+        from feed_forward_vqgan_clip_tpu.models.mappers.vitgan import SineLayer
+
+        params = convert_sine_layer(
+            {k: v.detach().numpy() for k, v in tl.state_dict().items()}
+        )
+        jl = SineLayer(10, is_first=False, omega_0=30.0)
+        got = jl.apply(params, jnp.asarray(x))
+        with torch.no_grad():
+            want = tl(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_discriminator_matches_reference(self, rng):
+        from vitgan import Discriminator as TorchDiscriminator
+
+        td = TorchDiscriminator(
+            in_channels=3, patch_size=2, extend_size=1, dim=16, blocks=2,
+            num_heads=4, dropout=0,
+        ).eval()
+        from feed_forward_vqgan_clip_tpu.io.torch_import import (
+            convert_vitgan_discriminator,
+        )
+        from feed_forward_vqgan_clip_tpu.models.mappers.vitgan import Discriminator
+
+        params = convert_vitgan_discriminator(
+            {k: v.detach().numpy() for k, v in td.state_dict().items()}, blocks=2
+        )
+        jd = Discriminator(patch_size=2, extend_size=1, dim=16, blocks=2, num_heads=4)
+        # 20x20 keeps tokens+1 (37) within the reference's (token_dim+1)-row
+        # pos table (49) — larger images overrun it in torch too (a replicated
+        # quirk, see Discriminator docstring)
+        x = rng.normal(size=(2, 3, 20, 20)).astype(np.float32)
+        got = jd.apply(params, jnp.asarray(x).transpose(0, 2, 3, 1))
+        with torch.no_grad():
+            want = td(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_spectral_renorm_invariance(self, rng):
+        # the L2 attention renormalizes to_qkv to its init spectral norm each
+        # forward (vitgan.py:69-78): scaling the stored kernel while keeping
+        # init_spect_norm must not change the output
+        from feed_forward_vqgan_clip_tpu.models.mappers.vitgan import (
+            DiscriminatorAttention,
+        )
+
+        attn = DiscriminatorAttention(dim=16, num_heads=4)
+        x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        p = attn.init(jax.random.PRNGKey(0), x)
+        from feed_forward_vqgan_clip_tpu.models.mappers.vitgan import (
+            init_discriminator_spectral_norms,
+        )
+
+        p = {"params": init_discriminator_spectral_norms(p["params"])}
+        base = attn.apply(p, x)
+        scaled = jax.tree_util.tree_map(lambda v: v, p)
+        scaled["params"] = dict(scaled["params"])
+        scaled["params"]["to_qkv_kernel"] = p["params"]["to_qkv_kernel"] * 3.0
+        got = attn.apply(scaled, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)

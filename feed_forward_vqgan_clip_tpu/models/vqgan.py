@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from feed_forward_vqgan_clip_tpu.ops.grad_ops import clamp_with_grad
-from feed_forward_vqgan_clip_tpu.ops.quantize import vector_quantize
+from feed_forward_vqgan_clip_tpu.ops.quantize import quantize_indices, vector_quantize
 
 
 def swish(x):
@@ -413,6 +413,11 @@ class VQGAN(nn.Module):
         h = self.post_quant_conv(z_q.astype(self.dtype))
         return self.decoder(h, deterministic)
 
+    def decode_post_quant(self, h, deterministic=True):
+        """Decoder only — `h` is already in post-quant space (the folded
+        codebook path in `synth` computes post_quant_conv at lookup time)."""
+        return self.decoder(h.astype(self.dtype), deterministic)
+
     def __call__(self, z_q, deterministic=True):
         return self.decode_latent(z_q, deterministic)
 
@@ -435,19 +440,104 @@ def make_vqgan(config: dict, dtype=jnp.float32) -> VQGAN:
     )
 
 
-def synth(vqgan: VQGAN, params, z, *, use_pallas="auto", data_mesh=None):
+@jax.custom_vjp
+def _st_through_linear(z, value, w):
+    """Forward `value`; backward routes the cotangent to `z` through the linear
+    map `w` — i.e. d/dz = g @ w^T, exactly the adjoint of `(z @ w + b)`.
+
+    This is the straight-through composition `post_quant_conv(vector_quantize(z))`
+    collapsed into one op: vector_quantize's backward is identity to `z`
+    (main.py:138) and a 1x1 conv's input-gradient is the channel matmul with
+    the transposed kernel, so the composed cotangent is `g @ w^T` regardless of
+    which codebook row the forward selected. `value`/`w` receive zeros (the
+    VQGAN is frozen; callers pass them through stop_gradient anyway).
+    """
+    return value
+
+
+def _st_through_linear_fwd(z, value, w):
+    # zeros_like placeholders carry shape+dtype to the bwd rule as arrays
+    # (dtype objects are not valid residual leaves); they fold to constants.
+    return value, (w, jnp.zeros_like(z), jnp.zeros_like(value))
+
+
+def _st_through_linear_bwd(res, g):
+    w, z0, v0 = res
+    dz = jnp.einsum("...o,co->...c", g, w).astype(z0.dtype)
+    return dz, v0, jnp.zeros_like(w)
+
+
+_st_through_linear.defvjp(_st_through_linear_fwd, _st_through_linear_bwd)
+
+
+# FFVC_FOLD_PQC: 1 lets `synth` fold post_quant_conv (1x1) into the codebook
+# when the token count is at least the codebook size — the conv is applied to
+# the CODEBOOK once ((K, z_ch) rows, K=16384) and decoder inputs are looked up
+# directly in post-quant space, deduplicating the per-token conv (B*S*S rows)
+# down to K rows. Exact-arithmetic identical (f32 pinned; ~1 bf16 ulp at the
+# decoder input from shape-dependent conv lowering — the mode-2-upsample
+# deviation class); the straight-through gradient to z is the same `g @ W^T`
+# the conv adjoint produces. Default 0 (the literal lookup-then-conv graph,
+# main.py:140-143): MEASURED a small net LOSS on v5e even at its best case —
+# 430.2 -> 429.3 img/s at B=128 (BENCH_NOTES.md round 5) — the deduped conv
+# saves too few FLOPs to cover the extra table round-trip and the
+# gather-after-conv dependency it introduces.
+_FOLD_PQC = os.environ.get("FFVC_FOLD_PQC", "0")
+if _FOLD_PQC not in ("0", "1"):
+    raise ValueError(
+        f"FFVC_FOLD_PQC={_FOLD_PQC!r} is not a recognized mode; use 0 (reference "
+        "lookup-then-conv graph, default) or 1 (fold the 1x1 post_quant_conv "
+        "into the codebook when tokens >= codebook size; measured slightly "
+        "slower on v5e)."
+    )
+
+
+def synth(vqgan: VQGAN, params, z, *, use_pallas="auto", data_mesh=None, fold_pqc=None):
     """z (B, S, S, C) latent -> image (B, 16S, 16S, 3) in [0, 1].
 
     Parity with the reference's `synth` (/root/reference/main.py:140-143):
     vector_quantize (straight-through) -> decode -> (x+1)/2 -> clamp_with_grad.
 
-    `data_mesh`: forwarded to vector_quantize — shard_maps the Pallas index
+    `data_mesh`: forwarded to the VQ index search — shard_maps the Pallas
     search over the 'data' axis on a DP mesh (the decoder itself partitions
     natively under GSPMD and needs no wrapping).
+
+    `fold_pqc`: None resolves FFVC_FOLD_PQC (default 0 — measured slightly
+    slower on v5e; see the _FOLD_PQC comment), whose auto gate folds only when
+    the token count is at least the codebook size; explicit True/False force
+    the folded / reference graph. When folded, the 1x1 post_quant_conv is
+    applied to the CODEBOOK once instead of to every token; values match the
+    unfolded graph exactly in f32 and to ~1 bf16 ulp at the decoder input, and
+    the straight-through gradient to z is the same conv adjoint.
     """
     codebook = params["params"]["codebook"]
-    z_q = vector_quantize(z, codebook, use_pallas=use_pallas, data_mesh=data_mesh)
-    x = vqgan.apply(params, z_q, method=vqgan.decode_latent)
+    if fold_pqc is None:
+        n_tokens = 1
+        for s in z.shape[:-1]:
+            n_tokens *= s
+        fold = _FOLD_PQC == "1" and n_tokens >= codebook.shape[0]
+    else:
+        fold = bool(fold_pqc)
+    if fold:
+        idx = quantize_indices(z, codebook, use_pallas=use_pallas, data_mesh=data_mesh)
+        pq = params["params"]["post_quant_conv"]
+        w = pq["kernel"].reshape(codebook.shape[-1], -1).astype(vqgan.dtype)
+        # run the ACTUAL post_quant_conv over the codebook laid out as a
+        # (1, K, 1, C) image — the same 1x1-conv op the unfolded graph runs per
+        # token, so each folded row carries the conv's own per-row arithmetic
+        # (not a dot re-association of it)
+        kk, cc = codebook.shape
+        folded = vqgan.apply(
+            params,
+            codebook.reshape(1, kk, 1, cc),
+            method=lambda m, t: m.post_quant_conv(t.astype(m.dtype)),
+        ).reshape(kk, -1)
+        h_q = jnp.take(jax.lax.stop_gradient(folded), idx, axis=0)
+        h = _st_through_linear(z, h_q, jax.lax.stop_gradient(w))
+        x = vqgan.apply(params, h, method=vqgan.decode_post_quant)
+    else:
+        z_q = vector_quantize(z, codebook, use_pallas=use_pallas, data_mesh=data_mesh)
+        x = vqgan.apply(params, z_q, method=vqgan.decode_latent)
     return clamp_with_grad((x + 1.0) / 2.0, 0.0, 1.0)
 
 

@@ -34,17 +34,13 @@ def nearest_codebook_indices(x, codebook, *, precision=jax.lax.Precision.HIGHEST
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def vector_quantize(x, codebook, *, use_pallas="auto", data_mesh=None):
-    """Quantize `x` (..., C) to its nearest codebook rows with a straight-through grad.
+def quantize_indices(x, codebook, *, use_pallas="auto", data_mesh=None):
+    """Nearest-codebook int32 indices for `x` (..., C), detached from autodiff.
 
-    Forward: codebook[argmin dist]. Backward: identity to `x` (reference main.py:138).
-
-    `data_mesh`: a Mesh with a 'data' axis > 1 routes the Pallas index search
-    through `jax.shard_map` over that axis (batch dim 0) — pallas_call has no
-    GSPMD partitioning rule, so left in a plain sharded jit every device would
-    search the gathered GLOBAL batch. The search is batch-parallel (codebook
-    replicated), so per-shard kernels reproduce the single-device indices
-    exactly. Ignored on the XLA path, which partitions natively.
+    The search-dispatch half of `vector_quantize` (Pallas vs XLA, optional
+    shard_map over a DP mesh), exposed so callers that consume the INDICES —
+    e.g. the folded post_quant_conv lookup in `models/vqgan.synth` — share the
+    exact same search (same tie-breaking, same per-shard semantics).
     """
     # The index search is non-differentiable; detach it so autodiff never traces
     # through the search (in particular pallas_call has no JVP rule for nonzero
@@ -74,6 +70,22 @@ def vector_quantize(x, codebook, *, use_pallas="auto", data_mesh=None):
             idx = nearest_codebook_indices_pallas(xd, cbd)
     else:
         idx = nearest_codebook_indices(xd, cbd)
+    return idx
+
+
+def vector_quantize(x, codebook, *, use_pallas="auto", data_mesh=None):
+    """Quantize `x` (..., C) to its nearest codebook rows with a straight-through grad.
+
+    Forward: codebook[argmin dist]. Backward: identity to `x` (reference main.py:138).
+
+    `data_mesh`: a Mesh with a 'data' axis > 1 routes the Pallas index search
+    through `jax.shard_map` over that axis (batch dim 0) — pallas_call has no
+    GSPMD partitioning rule, so left in a plain sharded jit every device would
+    search the gathered GLOBAL batch. The search is batch-parallel (codebook
+    replicated), so per-shard kernels reproduce the single-device indices
+    exactly. Ignored on the XLA path, which partitions natively.
+    """
+    idx = quantize_indices(x, codebook, use_pallas=use_pallas, data_mesh=data_mesh)
     x_q = jnp.take(codebook, idx, axis=0).astype(x.dtype)
     return replace_grad(x_q, x)
 

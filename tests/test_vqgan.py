@@ -447,3 +447,102 @@ class TestFullDecoderOracle:
             return {f"first_stage_model.{k}": v for k, v in sd.items()}
 
         self._oracle(self.CFGS[1], mutate_sd=prefix)
+
+
+class TestPostQuantFold:
+    """FFVC_FOLD_PQC: synth's folded post_quant_conv (codebook-side 1x1 conv +
+    post-quant lookup) vs the reference lookup-then-conv graph
+    (main.py:140-143). Exact-arithmetic identical; f32 is pinned tight here,
+    bf16 differs by ~1 ulp at the decoder input (shape-dependent conv
+    lowering — the same deviation class as the mode-2 upsample tap presum)."""
+
+    def _vq(self, dtype):
+        return VQGAN(
+            n_embed=64, embed_dim=8, ch=8, ch_mult=(1, 2), num_res_blocks=1,
+            attn_resolutions=(4,), resolution=8, z_channels=8, dtype=dtype,
+        )
+
+    def _params(self, vq):
+        p = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
+        # unit-scale codebook: the default tiny-uniform init makes rows nearly
+        # identical, which turns the decoder's GroupNorm into a difference
+        # amplifier and the argmin into a tie-breaker stress test
+        p["params"]["codebook"] = jax.random.normal(jax.random.PRNGKey(7), (64, 8))
+        return p
+
+    def test_f32_forward_and_grad_parity(self):
+        vq = self._vq(jnp.float32)
+        p = self._params(vq)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+
+        def loss(q, fold):
+            return jnp.sum(synth(vq, p, q, use_pallas=False, fold_pqc=fold) ** 2)
+
+        x0 = synth(vq, p, z, use_pallas=False, fold_pqc=False)
+        x1 = synth(vq, p, z, use_pallas=False, fold_pqc=True)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=2e-6)
+        g0 = jax.grad(lambda q: loss(q, False))(z)
+        g1 = jax.grad(lambda q: loss(q, True))(z)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=0, atol=1e-4)
+
+    def test_bf16_decoder_input_within_ulp(self):
+        from feed_forward_vqgan_clip_tpu.ops.quantize import (
+            quantize_indices,
+            vector_quantize,
+        )
+
+        vq = self._vq(jnp.bfloat16)
+        p = self._params(vq)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8)).astype(jnp.bfloat16)
+        cb = p["params"]["codebook"]
+        zq = vector_quantize(z, cb, use_pallas=False)
+        h_conv = vq.apply(p, zq, method=lambda m, t: m.post_quant_conv(t.astype(m.dtype)))
+        idx = quantize_indices(z, cb, use_pallas=False)
+        folded = vq.apply(
+            p, cb.reshape(1, 64, 1, 8),
+            method=lambda m, t: m.post_quant_conv(t.astype(m.dtype)),
+        ).reshape(64, -1)
+        h_fold = jnp.take(folded, idx, axis=0)
+        a = np.asarray(h_conv, np.float32)
+        b = np.asarray(h_fold, np.float32)
+        # a handful of bf16 ulps relative to the value scale: the two paths run
+        # the same conv arithmetic over the same rows, differing only in the
+        # backend's shape-dependent reduction layout. rtol 2^-6 (4 mantissa
+        # steps) with a small atol floor catches any real bug (wrong kernel
+        # orientation, dropped bias, bad index) by orders of magnitude.
+        np.testing.assert_allclose(b, a, rtol=2.0 ** -6, atol=0.02)
+
+    def test_auto_gate_folds_only_at_codebook_scale(self, monkeypatch):
+        # with FFVC_FOLD_PQC=1 the auto gate (fold_pqc=None) folds iff
+        # tokens >= K; both sides of the gate must agree with the forced
+        # reference graph (the shipping default is 0 — never fold)
+        from feed_forward_vqgan_clip_tpu.models import vqgan as vqgan_mod
+
+        monkeypatch.setattr(vqgan_mod, "_FOLD_PQC", "1")
+        vq = self._vq(jnp.float32)
+        p = self._params(vq)
+        small = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 8))  # 16 < 64
+        big = jax.random.normal(jax.random.PRNGKey(3), (8, 4, 4, 8))  # 128 >= 64
+        for z in (small, big):
+            x_auto = synth(vq, p, z, use_pallas=False)
+            x_ref = synth(vq, p, z, use_pallas=False, fold_pqc=False)
+            np.testing.assert_allclose(np.asarray(x_auto), np.asarray(x_ref), atol=2e-6)
+
+    def test_grad_routes_only_to_z(self):
+        # the straight-through fold must leave the frozen VQGAN params with
+        # finite-and-zero cotangents (no NaN leaks through the custom VJP)
+        vq = self._vq(jnp.float32)
+        p = self._params(vq)
+        z = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 8))
+
+        def loss(pp):
+            return jnp.sum(synth(vq, pp, z, use_pallas=False, fold_pqc=True) ** 2)
+
+        g = jax.grad(loss)(p)
+        # the folded table and its weight are stop_gradient-ed: the VQ/conv
+        # seam contributes exactly zero to them (decoder params still get
+        # real grads through the decode)
+        np.testing.assert_array_equal(
+            np.asarray(g["params"]["post_quant_conv"]["kernel"]), 0.0
+        )
+        np.testing.assert_array_equal(np.asarray(g["params"]["codebook"]), 0.0)

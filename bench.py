@@ -66,10 +66,10 @@ REF_PIPELINE_FLOPS_PER_IMAGE = 433.0e9
 # benchmarks/measure_train_flops.py: 9.5078e12 per step. The reference's eager
 # step runs the same matmuls/convs fwd+bwd, so this is its budget too.
 REF_TRAIN_FLOPS_PER_IMAGE = 9.5078e12 / 8
-# Default batch 128: measured 430.3 img/s vs 422.5 at B=64 (round 4) — the
-# skewed mixer's 2-boundary-step cost and the decoder's conv efficiency both
-# amortize slightly better; latency/train modes are unaffected.
-BATCH = int(os.environ.get("FFVC_BENCH_BATCH", 128))
+# Default batch 256: measured 431.5 img/s vs 430.3 at B=128 and 422.5 at B=64
+# (round 5) — boundary-step amortization in the skewed mixer kernel keeps
+# paying through 256; latency/train modes are unaffected.
+BATCH = int(os.environ.get("FFVC_BENCH_BATCH", 256))
 K_ITERS = 50  # one compiled scan; dispatch+readback overhead (~30ms) is <1% of wall
 # all (default): infer headline + train-step + batch-1-latency JSON lines in
 # ONE run, so every headline number lands in the driver's BENCH artifact

@@ -274,6 +274,7 @@ def train_bench():
     mc = MakeCutouts(cut_size=224, cutn=8, pool_size=224, fuse_geometric=fuse)
     step_fn, _ = L.make_train_step(
         cfg, mapper, frozen, mc, inp_is_tokens=True, out_is_tokens=True,
+        same_io=True,  # mirrors the trainer on a text dataset (one text encode)
     )
     fz = {"clip": perceptor.params, "vq": frozen.vq_params}
     toks = jnp.zeros((bs, 77), jnp.int32).at[:, 0].set(49406).at[:, 2].set(49407)

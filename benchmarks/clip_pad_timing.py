@@ -56,7 +56,7 @@ class PaddedVisionTransformer(nn.Module):
         tp = self.pad_to
         h = jnp.pad(h, ((0, 0), (0, tp - n_tok), (0, 0)))
         mask = jnp.where(
-            jnp.arange(tp)[None, :] >= n_tok, -jnp.inf, 0.0
+            jnp.arange(tp) >= n_tok, -jnp.inf, 0.0
         ).astype(jnp.float32)[None, None, None, :]  # (1,1,1,T) over keys
         h = cv.LayerNorm(self.dtype, name="ln_pre")(h)
         h = cv.Transformer(layers, heads, "quick_gelu", self.dtype, name="transformer")(

@@ -173,6 +173,7 @@ def make_train_step(
     *,
     inp_is_tokens: bool,
     out_is_tokens: bool,
+    same_io: bool = False,
     mesh=None,
 ):
     """Build the jitted train step. Static structure (loss terms, token-vs-feature
@@ -298,12 +299,18 @@ def make_train_step(
             inp_feats = perceptor.module.apply(fz["clip"], inp, method=perceptor.module.encode_text)
         else:
             inp_feats = inp.astype(jnp.float32)
-        if normalize_input:
-            inp_feats = normalize(inp_feats)
-        if out_is_tokens:
+        # text-only datasets feed the SAME tokens as input and target
+        # (TensorDataset(toks, toks), main.py:652-655); identical inputs give
+        # identical embeddings, so run the text tower once. XLA cannot CSE
+        # this itself — `inp` and `out` arrive as two distinct jit parameters.
+        if same_io:
+            out_feats = inp_feats
+        elif out_is_tokens:
             out_feats = perceptor.module.apply(fz["clip"], out, method=perceptor.module.encode_text)
         else:
             out_feats = out.astype(jnp.float32)
+        if normalize_input:
+            inp_feats = normalize(inp_feats)
 
         # (repeat*bs, dim) tiling, repeat-major (main.py:739-740)
         inp_feats = jnp.tile(inp_feats, (repeat, 1))
@@ -442,6 +449,7 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         inp_all = out_all = np.asarray(data)
     inp_is_tokens = np.issubdtype(inp_all.dtype, np.integer)
     out_is_tokens = np.issubdtype(out_all.dtype, np.integer)
+    same_io = inp_all is out_all  # text-only dataset: one text encode per step
     n_local = len(shard_for_process(len(inp_all), jax.process_index(), jax.process_count()))
     log.info("Number of examples: %d (%d local)", len(inp_all), n_local)
 
@@ -525,7 +533,8 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
     )
     train_step, _ = make_train_step(
         cfg, mapper, frozen, make_cutouts,
-        inp_is_tokens=inp_is_tokens, out_is_tokens=out_is_tokens, mesh=mesh,
+        inp_is_tokens=inp_is_tokens, out_is_tokens=out_is_tokens,
+        same_io=same_io, mesh=mesh,
     )
     render = make_render_fn(cfg, mapper, frozen, mesh=mesh)
 
@@ -602,9 +611,11 @@ def train(cfg: TrainConfig):  # noqa: C901 - mirrors the reference's one trainer
         return jax.make_array_from_process_local_data(data_sharding, local_rows)
 
     def batch_for(ids, step_):
+        b_inp = _global_batch(inp_all[ids])
         b = {
-            "inp": _global_batch(inp_all[ids]),
-            "out": _global_batch(out_all[ids]),
+            "inp": b_inp,
+            # same_io: ship the rows once (loss_fn ignores "out" then anyway)
+            "out": b_inp if same_io else _global_batch(out_all[ids]),
         }
         if noise_dim and nb_noise is not None and noise_bank is not None:
             rows = np.random.default_rng((seed, step_)).permutation(

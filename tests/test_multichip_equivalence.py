@@ -91,6 +91,31 @@ def _loss_and_grads(mesh):
     return float(loss), jax.tree.map(np.asarray, grads)
 
 
+class TestSameIOSingleEncode:
+    def test_same_io_matches_double_encode_bitwise(self):
+        """same_io=True (text-only dataset: one text encode reused for the
+        target) must be the IDENTICAL function to encoding the same tokens
+        twice — bitwise, since the deduped subgraph feeds the same ops."""
+        cfg, frozen, mapper, params, toks = _rig()
+        mc = MakeCutouts(cut_size=32, cutn=2, augs=["Cc"], pool_size=32, noise_fac=0.0)
+        fz = {"clip": frozen.perceptor.params, "vq": frozen.vq_params}
+        key = jax.random.PRNGKey(0)
+        batch = {"inp": jnp.asarray(toks), "out": jnp.asarray(toks)}
+        outs = []
+        for same_io in (False, True):
+            _, loss_fn = L.make_train_step(
+                cfg, mapper, frozen, mc, inp_is_tokens=True,
+                out_is_tokens=True, same_io=same_io,
+            )
+            (loss, _), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+                params, fz, batch, key
+            )
+            outs.append((float(loss), jax.tree.map(np.asarray, grads)))
+        (l0, g0), (l1, g1) = outs
+        assert l0 == l1
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), g0, g1)
+
+
 class TestMeshNumericalEquivalence:
     def test_dp8_and_tp2_match_single_device(self):
         loss_1, grads_1 = _loss_and_grads(None)

@@ -151,6 +151,22 @@ def warp_perspective_inverse(img, h_inv, padding_mode="zeros", out_hw=None):
 _WARP_VJP_MODE = os.environ.get("FFVC_WARP_VJP", "auto")  # auto | pallas | xla
 _WARP_FWD_MODE = os.environ.get("FFVC_WARP_FWD", "auto")  # auto | pallas | xla
 _WARP_INTERPRET = False  # tests flip this to exercise the kernel on CPU
+# narrow (default): the zeros-affine family uses the 15-degree-bound row
+# window with a traced lax.cond fallback to the XLA path on uncoverable draws.
+# full: every family takes the whole-input row window, making coverage
+# unconditional — the compiled step carries NO conditional (and none of its
+# operand copies / fallback executable) at the price of wider window DMAs.
+# Same exact gradients either way (benchmarks/warp_window_ab.py: identical
+# value/grad on chip). Measured on v5e at B=64/224px: the wider windows LOSE
+# — Af fwd+bwd chain 19.32 (narrow) -> 21.74 ms (full) — so narrow stays the
+# default; `full` remains available for pods/compile-time A/Bs.
+_WARP_WINDOW = os.environ.get("FFVC_WARP_WINDOW", "narrow")
+if _WARP_WINDOW not in ("narrow", "full"):
+    raise ValueError(
+        f"FFVC_WARP_WINDOW={_WARP_WINDOW!r} is not a recognized mode; use "
+        "'narrow' (bounded affine windows + cond fallback, default) or 'full' "
+        "(unconditional whole-input windows, no conditional in the step)."
+    )
 
 
 def _fast_fwd_enabled():
@@ -218,7 +234,7 @@ def _pallas_adjoint(gout, m, img_sd, padding_mode, pad, kind, out_hw=None):
     tile, ck = pick_tile(h, w, ow, c, full)
     if tile is None:
         return _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
-    cand = pick_cand(tile, kind, w, oh, border)
+    cand = full if _WARP_WINDOW == "full" else pick_cand(tile, kind, w, oh, border)
     if cand < align or cand % align != 0:
         return _xla_adjoint(gout, m, img_sd, padding_mode, out_hw)
     if cand < full:
@@ -267,7 +283,7 @@ def _pallas_forward(img, m, padding_mode, kind, out_hw=None):
     if tile is None or h % align != 0:
         return _proj_warp_math(img, m, padding_mode, out_hw)
     border = padding_mode == "border"
-    cand = pick_fwd_cand(tile, kind, ow, h)
+    cand = (h // 8) * 8 if _WARP_WINDOW == "full" else pick_fwd_cand(tile, kind, ow, h)
     if cand < align or cand % align != 0:
         return _proj_warp_math(img, m, padding_mode, out_hw)
     origins, uncovered = forward_plan(m, h, (oh, ow), tile, cand, border, align=align)

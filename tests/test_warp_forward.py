@@ -229,3 +229,43 @@ def test_crop_rectangular_output_matches_grid_sample():
     want = _crop_oracle(img, x0, y0, cw, ch, 32)
     assert got.shape == (3, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+class TestFullWindowMode:
+    """FFVC_WARP_WINDOW=full (augment._WARP_WINDOW): whole-input row windows
+    make coverage unconditional, removing the lax.cond fallback from the
+    compiled step. Values and gradients must match the narrow-window default
+    on covered draws — wider windows only add zero-weight taps."""
+
+    def _setup(self):
+        rng = np.random.default_rng(9)
+        # 224px: the only size where the affine narrow window (128) differs
+        # from full (224) — smaller sizes already take the full window
+        img = jnp.asarray(rng.normal(size=(1, 224, 224, 1)), jnp.float32)
+        m = _rot_trans_mats(jax.random.PRNGKey(9), 1, 224, 224)
+        return img, m
+
+    @pytest.mark.parametrize("mode", ["zeros", "border"])
+    def test_forward_matches_narrow(self, monkeypatch, mode):
+        img, m = self._setup()
+        narrow = A.warp_projective(img, m, mode, 0, "affine")
+        monkeypatch.setattr(A, "_WARP_WINDOW", "full")
+        full = A.warp_projective(img, m, mode, 0, "affine")
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(narrow), atol=1e-5, rtol=1e-5
+        )
+
+    def test_adjoint_matches_narrow(self, monkeypatch):
+        img, m = self._setup()
+        monkeypatch.setattr(A, "_WARP_VJP_MODE", "pallas")
+
+        def loss(im):
+            out = A.warp_projective(im, m, "zeros", 0, "affine")
+            return jnp.sum(out * jnp.cos(out))
+
+        g_narrow = jax.grad(loss)(img)
+        monkeypatch.setattr(A, "_WARP_WINDOW", "full")
+        g_full = jax.grad(loss)(img)
+        np.testing.assert_allclose(
+            np.asarray(g_full), np.asarray(g_narrow), atol=1e-4, rtol=1e-4
+        )
